@@ -1,0 +1,97 @@
+"""Plain ViT classifiers (ViT-Ti/S/B /16) for the BASELINE.json configs:
+224px SLS image classification with patchify -> pre-norm encoder -> head.
+
+The CvT is a ViT-family encoder (conv token embedding + conv QKV projection);
+this is the vanilla variant the north-star benchmark configs name
+(BASELINE.json configs 1-3).  Attention and MLP route through the same
+kernels as the CvT (kernels/flash_attention.py, kernels/fused_mlp.py).
+
+Standard pre-norm block (distinct norm2, unlike the reference CvT's shared
+norm1 quirk): x += MHA(LN1(x)); x += MLP(LN2(x)).  Learned position
+embeddings, learnable zero-init cls token, LN head.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ViTSpec
+from ..ops import (
+    dense, dropout, init_dense, init_layer_norm, init_mha, layer_norm, mha,
+)
+from ..ops.blocks import init_mlp, mlp
+from ..ops.common import glorot_uniform
+
+
+def init_vit(key, spec: ViTSpec, dtype=jnp.float32):
+    n_patches = (spec.image_size // spec.patch_size) ** 2
+    patch_dim = spec.patch_size * spec.patch_size * spec.num_channels
+    keys = jax.random.split(key, 3 * spec.depth + 4)
+    params = {
+        "patch_embed": init_dense(keys[0], patch_dim, spec.embed_dim,
+                                  dtype=dtype),
+        "pos_embed": jax.random.normal(
+            keys[1], (1, n_patches + 1, spec.embed_dim), dtype) * 0.02,
+        "cls_token": jnp.zeros((1, 1, spec.embed_dim), dtype),
+        "blocks": [],
+        "head_norm": init_layer_norm(spec.embed_dim, dtype),
+        "head": init_dense(keys[2], spec.embed_dim, spec.num_classes,
+                           dtype=dtype),
+    }
+    for d in range(spec.depth):
+        k1, k2 = keys[3 + 2 * d], keys[4 + 2 * d]
+        params["blocks"].append({
+            "norm1": init_layer_norm(spec.embed_dim, dtype),
+            "attn": init_mha(k1, spec.embed_dim, spec.num_heads, dtype=dtype),
+            "norm2": init_layer_norm(spec.embed_dim, dtype),
+            "mlp": init_mlp(k2, spec.embed_dim,
+                            spec.embed_dim * spec.mlp_ratio, dtype=dtype),
+        })
+    return params
+
+
+def patchify(images, patch_size: int):
+    """(B, H, W, C) -> (B, N, P*P*C) non-overlapping patches.
+
+    Pure reshape/transpose — fuses into the following matmul under XLA, so
+    the patch embed is a single MXU matmul over the batch of patches.
+    """
+    b, h, w, c = images.shape
+    p = patch_size
+    x = images.reshape(b, h // p, p, w // p, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+
+def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
+                rng=None, impl: str = "auto"):
+    """images: (B, H, W, C) -> logits (B, num_classes)."""
+    x = patchify(images, spec.patch_size)
+    x = dense(params["patch_embed"], x)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                           (b, 1, spec.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    rngs = (jax.random.split(rng, spec.depth) if rng is not None
+            else [None] * spec.depth)
+    for d, blk in enumerate(params["blocks"]):
+        y = layer_norm(blk["norm1"], x, eps=1e-6)
+        y = mha(blk["attn"], y, y, y, impl=impl)
+        if train and spec.dropout_rate > 0.0:
+            r1, r2 = jax.random.split(rngs[d])
+            y = dropout(r1, y, spec.dropout_rate, train)
+        else:
+            r2 = rngs[d]
+        x = x + y
+        y = layer_norm(blk["norm2"], x, eps=1e-6)
+        y = mlp(blk["mlp"], y, dropout_rate=spec.dropout_rate, train=train,
+                rng=r2, impl=impl)
+        x = x + y
+
+    x = layer_norm(params["head_norm"], x, eps=1e-6)
+    return dense(params["head"], x[:, 0, :])
