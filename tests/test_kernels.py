@@ -1,0 +1,118 @@
+"""Pallas kernels vs their XLA reference implementations.
+
+On CPU the kernels run through the Pallas interpreter
+(TSTM_PALLAS_INTERPRET=1, set below before the kernels import); on TPU the
+same tests exercise the Mosaic-compiled path.  Parity bound: 1e-3 gate, and
+much tighter in practice.
+"""
+
+import os
+
+os.environ["TSTM_PALLAS_INTERPRET"] = (
+    "0" if os.environ.get("TSTM_ON_TPU") == "1" else "1")
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_stm_tpu.kernels.flash_attention import (
+    flash_attention, _reference_attention)
+from transformer_stm_tpu.kernels.fused_mlp import fused_mlp
+from transformer_stm_tpu.ops.blocks import init_mlp, mlp
+from transformer_stm_tpu.ops.common import dense, gelu
+
+
+# CvT stage shapes (65 / 256 / 1024 tokens, 1-4 heads, head_dim 64) plus a
+# ragged case and a 4k-token stretch shape.
+SHAPES = [
+    (2, 65, 4, 64),    # stage 3 + cls
+    (2, 256, 2, 64),   # stage 2
+    (1, 1024, 1, 64),  # stage 1
+    (2, 100, 3, 32),   # ragged, non-aligned
+    (1, 197, 6, 64),   # ViT-S @224
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_flash_attention_matches_xla(shape):
+    b, t, h, dh = shape
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(t), 3)
+    q = jax.random.normal(k1, (b, t, h, dh), jnp.float32)
+    k = jax.random.normal(k2, (b, t, h, dh), jnp.float32)
+    v = jax.random.normal(k3, (b, t, h, dh), jnp.float32)
+    _, ref = _reference_attention(q, k, v)
+    got = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_attention_cross_attention_lengths():
+    """T != S (conv QKV projection with stride would shrink KV)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (2, 64, 2, 32), jnp.float32)
+    k = jax.random.normal(kk, (2, 16, 2, 32), jnp.float32)
+    v = jax.random.normal(kv, (2, 16, 2, 32), jnp.float32)
+    _, ref = _reference_attention(q, k, v)
+    got = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_attention_grad_matches_xla():
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (1, 40, 2, 16), jnp.float32)
+    k = jax.random.normal(kk, (1, 40, 2, 16), jnp.float32)
+    v = jax.random.normal(kv, (1, 40, 2, 16), jnp.float32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.square(_reference_attention(q, k, v)[1]))
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_flash_attention_bf16():
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (2, 128, 2, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (2, 128, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (2, 128, 2, 64), jnp.bfloat16)
+    _, ref = _reference_attention(q, k, v)
+    got = flash_attention(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("n,d,hd", [(65, 64, 256), (256, 128, 512),
+                                    (100, 48, 96), (1024, 256, 1024)])
+def test_fused_mlp_matches_xla(n, d, hd):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(n), 3)
+    x = jax.random.normal(k1, (2, n, d), jnp.float32)
+    w1 = jax.random.normal(k2, (d, hd), jnp.float32) * 0.05
+    b1 = jax.random.normal(k3, (hd,), jnp.float32) * 0.05
+    w2 = jax.random.normal(k2, (hd, d), jnp.float32) * 0.05
+    b2 = jax.random.normal(k3, (d,), jnp.float32) * 0.05
+    ref = dense({"kernel": w2, "bias": b2},
+                gelu(dense({"kernel": w1, "bias": b1}, x)))
+    got = fused_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_mlp_op_pallas_impl_consistent():
+    """ops.blocks.mlp(impl='pallas') == impl='xla' in inference."""
+    params = init_mlp(jax.random.PRNGKey(0), 32, 128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 20, 32), jnp.float32)
+    ref = mlp(params, x, train=False, impl="xla")
+    got = mlp(params, x, train=False, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -1,0 +1,108 @@
+"""Parallel layer on the virtual 8-device CPU mesh: DP equivalence with
+single-device training, TP output equivalence, sharding rules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from transformer_stm_tpu.config import CvTSpec, MeshConfig, StageSpec, TrainConfig
+from transformer_stm_tpu.parallel import (
+    build_mesh, cvt_param_sharding, ShardedTrainer)
+from transformer_stm_tpu.train.loop import TrainLoop
+
+TINY = CvTSpec(
+    stages=(
+        StageSpec(embed_dim=8, patch_size=7, stride=4, num_heads=1),
+        StageSpec(embed_dim=16, patch_size=3, stride=2, num_heads=2),
+        StageSpec(embed_dim=16, patch_size=3, stride=2, num_heads=2,
+                  with_cls_token=True),
+    ),
+    image_height=32, image_width=32,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 (virtual) devices")
+
+
+def _toy(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 255, (n, 32, 32, 1), dtype=np.uint8),
+            rng.normal(size=(n, 5)).astype(np.float32),
+            rng.normal(size=(n,)).astype(np.float32))
+
+
+@needs_8
+def test_dp_matches_single_device():
+    """One epoch data-parallel over 8 devices == one epoch on one device
+    (same seeds, same shuffling) to float tolerance."""
+    images, proc, labels = _toy()
+    cfg = TrainConfig(epochs=1, batch_size=32, seed=5)
+
+    single = TrainLoop(TINY, cfg, impl="xla")
+    out_s = single.fit(images, proc, labels, verbose=False)
+
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    trainer = ShardedTrainer(TINY, cfg, mesh, tensor_parallel=False,
+                             impl="xla")
+    m = trainer.train_epoch(images, proc, labels, epoch=0)
+
+    assert np.isfinite(m["loss"])
+    rec = out_s["records"].rows[0]
+    assert m["loss"] == pytest.approx(rec[1], rel=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(out_s["params"]),
+                    jax.tree_util.tree_leaves(trainer.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@needs_8
+def test_tp_forward_matches_replicated():
+    """TP-sharded forward == replicated forward (sharding is semantics-
+    preserving; GSPMD only changes the schedule)."""
+    from transformer_stm_tpu.models import init_cvt, cvt_forward
+    from transformer_stm_tpu.parallel.sharding import shard_params
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    params, state = init_cvt(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 1)), jnp.float32)
+    proc = jnp.asarray(rng.normal(size=(8, 5)), jnp.float32)
+
+    ref, _ = cvt_forward(params, state, TINY, img, proc, impl="xla")
+
+    sharded = shard_params(params, mesh, tensor_parallel=True)
+
+    @jax.jit
+    def fwd(p, s, x, pr):
+        out, _ = cvt_forward(p, s, TINY, x, pr, impl="xla")
+        return out
+
+    got = fwd(sharded, state, img, proc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@needs_8
+def test_sharding_rules_divisibility():
+    """Indivisible axes (e.g. 1-head stage) stay replicated."""
+    from transformer_stm_tpu.models import init_cvt
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    params, _ = init_cvt(jax.random.PRNGKey(0), TINY)
+    shardings = cvt_param_sharding(params, mesh, tensor_parallel=True)
+    # stage-1 MHA query kernel: 1 head -> replicated
+    s1 = shardings["stages"][0]["blocks"][0]["attn"]["mha"]["query"]["kernel"]
+    assert s1.spec == P()
+    # stage-2 MHA query kernel: 2 heads -> sharded over model
+    s2 = shardings["stages"][1]["blocks"][0]["attn"]["mha"]["query"]["kernel"]
+    assert s2.spec == P(None, "model", None)
+    # mlp fc1 kernel sharded on hidden
+    m1 = shardings["stages"][1]["blocks"][0]["mlp"]["fc1"]["kernel"]
+    assert m1.spec == P(None, "model")
+
+
+def test_mesh_all_devices_default():
+    mesh = build_mesh(MeshConfig())
+    assert mesh.shape["data"] == len(jax.devices())
+    assert mesh.shape["model"] == 1

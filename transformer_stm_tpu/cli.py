@@ -1,0 +1,141 @@
+"""Single CLI replacing the reference's Makefile-dispatched script zoo
+(reference Makefile:48-79; SURVEY.md §5.6).
+
+  python -m transformer_stm_tpu.cli train  --inputs img+par [--freq ...]
+  python -m transformer_stm_tpu.cli test   --inputs img+par [--freq ...]
+  python -m transformer_stm_tpu.cli heatmap --freq 50HZ_Bm
+  python -m transformer_stm_tpu.cli pickup
+  python -m transformer_stm_tpu.cli memory
+  python -m transformer_stm_tpu.cli plot-records --records PATH
+  python -m transformer_stm_tpu.cli model-plot
+  python -m transformer_stm_tpu.cli bench
+
+Every mutable setting comes from one JSON config (--config) with CLI
+overrides — the reference's per-script constant drift cannot happen.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from .config import (ExperimentConfig, FREQUENCIES, TrainConfig,
+                     load_config, save_config)
+
+
+def _build_cfg(args) -> ExperimentConfig:
+    cfg = load_config(args.config) if args.config else ExperimentConfig()
+    if getattr(args, "inputs", None):
+        cfg = dataclasses.replace(cfg, inputs=args.inputs)
+    if getattr(args, "projection", None):
+        cfg = dataclasses.replace(cfg, projection_method=args.projection)
+    if getattr(args, "cls_token", None) is not None:
+        cfg = dataclasses.replace(cfg, cls_token=args.cls_token)
+    if getattr(args, "freq", None):
+        cfg = dataclasses.replace(cfg, frequencies=tuple(args.freq))
+    tr = cfg.train
+    if getattr(args, "epochs", None):
+        tr = dataclasses.replace(tr, epochs=args.epochs)
+    if getattr(args, "batch_size", None):
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if getattr(args, "repeats", None):
+        tr = dataclasses.replace(tr, repeats=args.repeats)
+    if getattr(args, "seed", None) is not None:
+        tr = dataclasses.replace(tr, seed=args.seed)
+    cfg = dataclasses.replace(cfg, train=tr)
+    if getattr(args, "result_dir", None):
+        cfg = dataclasses.replace(cfg, result_dir=args.result_dir)
+    return cfg
+
+
+def _add_common(p):
+    p.add_argument("--config", help="JSON config path")
+    p.add_argument("--inputs", choices=["img", "par", "img+par"])
+    p.add_argument("--projection", choices=["dw_bn", "avg", "linear"])
+    p.add_argument("--cls-token", dest="cls_token", type=lambda s: s == "1",
+                   help="1/0")
+    p.add_argument("--freq", nargs="*", choices=list(FREQUENCIES),
+                   help="subset of targets (default: all 20)")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--repeats", type=int,
+                   help=">1 = repeat-run '(many)' mode")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--result-dir")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="transformer-stm-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("train", "test"):
+        p = sub.add_parser(name)
+        _add_common(p)
+
+    p = sub.add_parser("heatmap", help="Grad-CAM over trained weights")
+    _add_common(p)
+    p.add_argument("--layers", type=int, default=10,
+                   help="images per specimen (reference uses 10)")
+
+    sub.add_parser("memory", help="CPU/RAM/TPU-HBM monitor (1 Hz)")
+
+    p = sub.add_parser("pickup", help="IQR label prep (make Pick_up_datas)")
+    p.add_argument("--in", dest="in_path",
+                   default="/root/reference/Excel/Circle_test.xlsx")
+    p.add_argument("--out", dest="out_path",
+                   default="Excel/Processed_Circle_test.xlsx")
+
+    p = sub.add_parser("plot-records")
+    p.add_argument("--records", required=True)
+    p.add_argument("--out", default="records.png")
+
+    p = sub.add_parser("model-plot", help="model structure diagram")
+    _add_common(p)
+    p.add_argument("--out", default="model_plot.png")
+
+    p = sub.add_parser("save-config", help="write the default config JSON")
+    _add_common(p)
+    p.add_argument("--out", default="config.json")
+
+    sub.add_parser("bench", help="run the throughput benchmark")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd in ("train", "test"):
+        from .harness import run
+        cfg = _build_cfg(args)
+        run(cfg, mode=args.cmd, verbose=True)
+    elif args.cmd == "heatmap":
+        from .harness import heatmap_target
+        cfg = _build_cfg(args)
+        for freq in cfg.frequencies:
+            heatmap_target(cfg, freq, layers=args.layers)
+    elif args.cmd == "memory":
+        from .tools.monitor import monitor_loop
+        monitor_loop()
+    elif args.cmd == "pickup":
+        from .tools.prep import pick_up_data
+        n = pick_up_data(args.in_path, args.out_path)
+        print(f"wrote {args.out_path} ({n} outlier cells dropped)")
+    elif args.cmd == "plot-records":
+        from .tools.plots import plot_records
+        plot_records(args.records, args.out)
+        print(f"wrote {args.out}")
+    elif args.cmd == "model-plot":
+        from .tools.model_plot import plot_model_structure
+        cfg = _build_cfg(args)
+        plot_model_structure(cfg, args.out)
+        print(f"wrote {args.out}")
+    elif args.cmd == "save-config":
+        cfg = _build_cfg(args)
+        save_config(cfg, args.out)
+        print(f"wrote {args.out}")
+    elif args.cmd == "bench":
+        import runpy
+        runpy.run_module("bench", run_name="__main__")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,20 +99,23 @@ def decode_corpus(cfg: DataConfig, specimen_indices=None,
 
 
 def load_dataset(cfg: DataConfig, freq: str, labels: Optional[LabelTable] = None,
-                 procs: Optional[ProcessTable] = None):
+                 procs: Optional[ProcessTable] = None,
+                 with_images: bool = True):
     """Full per-target dataset with the reference's array layout.
 
     Returns dict: images (N, H, W, 1) uint8 (normalize on device),
     labels (N,), proc_scaled (N, 5), valid_indices, count.
     N = V * image_layers in specimen order (models/CvT(Par).py:409-426).
+    with_images=False skips the decode (params-only FFN runs).
     """
     labels = labels or LabelTable.load(cfg.excel_labels)
     procs = procs or ProcessTable.load(cfg.excel_process)
     t = build_target_arrays(cfg, freq, labels, procs)
-    corpus = decode_corpus(cfg, t["valid_indices"])
-    imgs = corpus[t["valid_indices"]]  # (V, L, H, W)
-    v, l, h, w = imgs.shape
-    t["images"] = np.asarray(imgs).reshape(v * l, h, w, 1)
+    if with_images:
+        corpus = decode_corpus(cfg, t["valid_indices"])
+        imgs = corpus[t["valid_indices"]]  # (V, L, H, W)
+        v, l, h, w = imgs.shape
+        t["images"] = np.asarray(imgs).reshape(v * l, h, w, 1)
     return t
 
 
@@ -124,21 +127,25 @@ def normalize_images(x):
 
 
 def preprocess_images_device(rgb, out_h: int, out_w: int,
-                             dtype=None):
+                             dtype=None, antialias: bool = False):
     """Fused on-device preprocessing (BASELINE.json config 2): raw RGB uint8
     (B, H0, W0, 3) -> resized, BT.601-grayscaled, normalized (B, h, w, 1).
 
-    Resize is bilinear with half-pixel centers (cv2 INTER_LINEAR
-    semantics); grayscale uses the BT.601 weights cv2's BGR2GRAY applies
-    (0.299 R + 0.587 G + 0.114 B).  Everything is one XLA fusion on TPU —
-    no host round-trip after JPEG decode.
+    antialias=False reproduces cv2 INTER_LINEAR downscaling (plain bilinear
+    with half-pixel centers, 2x2 taps — matches the reference pipeline to
+    ~3e-3, bounded by cv2's uint8 intermediate rounding); antialias=True
+    gives the better-quality box-filtered downscale.  Grayscale uses the
+    BT.601 weights cv2's BGR2GRAY applies (0.299 R + 0.587 G + 0.114 B).
+    Everything is one XLA fusion on TPU — no host round-trip after JPEG
+    decode.
     """
     import jax.numpy as jnp
     import jax
 
     x = rgb.astype(jnp.float32)
     b, h0, w0, c = x.shape
-    x = jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+    x = jax.image.resize(x, (b, out_h, out_w, c), method="linear",
+                         antialias=antialias)
     weights = jnp.array([0.299, 0.587, 0.114], jnp.float32)
     gray = jnp.einsum("bhwc,c->bhw", x, weights)
     gray = gray / 255.0

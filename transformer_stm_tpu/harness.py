@@ -1,0 +1,284 @@
+"""Experiment harness: per-target train / test orchestration.
+
+Replaces the reference's 10 copy-paste script variants
+(models/CvT(Par).py, CvT(Img).py, FFN(OnlyPar).py, the *_test* and
+"(many)" variants) with one config-driven pair of functions:
+
+- ``train_target``: data -> TrainLoop -> weights checkpoint + records xlsx
+  (reference: train_and_save_model, models/CvT(Par).py:431-494).
+- ``test_target``: rebuild model, load weights, predict on the held-out
+  split, write Predictions_Metrics xlsx + 2 plots
+  (reference: test_and_save_results, models/CvT_test(Par).py:479-557).
+- ``run``: loops targets (and repeats for the "(many)" mode,
+  models/CvT(Par)(many).py:501-505) with the image corpus decoded once and
+  shared — fixing the reference's 20x redundant decode.
+
+Artifact layout matches the reference:
+  Result/Weight/{variant}/..., Result/Records/{variant}/...,
+  Result/Excel/{variant}/Predictions_Metrics_{freq}.xlsx,
+  Result/Plots/{variant}/...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import ExperimentConfig, FREQUENCIES
+from .data.images import load_dataset
+from .data.labels import LabelTable, ProcessTable
+from .data.split import train_val_split
+
+
+def _spec_for(cfg: ExperimentConfig):
+    spec = cfg.model.with_projection(cfg.projection_method, cfg.cls_token)
+    if cfg.inputs == "img":
+        spec = dataclasses.replace(spec, proc_dim=0)
+    return spec
+
+
+def _paths(cfg: ExperimentConfig, freq: str, time: Optional[int] = None):
+    v = cfg.variant_dir
+    base = cfg.result_dir
+    wname = cfg.weight_name(freq, time)
+    return {
+        "weights": os.path.join(base, "Weight", v, wname),
+        "records": os.path.join(
+            base, "Records", v,
+            wname.replace("model_weights", "records") + ".xlsx"),
+        "metrics": os.path.join(base, "Excel", v,
+                                f"Predictions_Metrics_{freq}.xlsx"),
+        "plot_scatter": os.path.join(base, "Plots", v,
+                                     f"r2_scatter_{freq}.png"),
+        "plot_lines": os.path.join(base, "Plots", v,
+                                   f"actual_vs_predicted_{freq}.png"),
+    }
+
+
+def _load_target(cfg: ExperimentConfig, freq: str, labels, procs):
+    data = load_dataset(cfg.data, freq, labels, procs,
+                        with_images=(cfg.inputs != "par"))
+    train_rows, val_rows = train_val_split(
+        data["valid_indices"], data["count"], cfg.data.image_layers)
+    return data, train_rows, val_rows
+
+
+def train_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
+                 time: Optional[int] = None, epochs: Optional[int] = None,
+                 verbose: bool = True) -> Dict:
+    """Train one frequency target end-to-end; writes weights + records."""
+    from .train.loop import TrainLoop
+    from .train.checkpoint import save_checkpoint
+
+    spec = _spec_for(cfg)
+    data, train_rows, val_rows = _load_target(cfg, freq, labels, procs)
+    paths = _paths(cfg, freq, time)
+
+    y = data["labels"]
+    if cfg.inputs == "par":
+        return _train_ffn(cfg, freq, data["proc_scaled"], y, train_rows,
+                          val_rows, paths, epochs, verbose)
+
+    imgs = data["images"]
+    proc = data["proc_scaled"] if cfg.inputs != "img" else None
+
+    loop = TrainLoop(spec, cfg.train)
+    out = loop.fit(
+        imgs[train_rows], proc[train_rows] if proc is not None else None,
+        y[train_rows],
+        val=(imgs[val_rows],
+             proc[val_rows] if proc is not None else None,
+             y[val_rows]),
+        epochs=epochs, verbose=verbose,
+        checkpoint_dir=paths["weights"] + ".ckpts")
+    save_checkpoint(paths["weights"], out["params"], out["state"],
+                    out["opt"], step=loop.epoch,
+                    metadata={"freq": freq, "config": cfg.inputs})
+    out["records"].write(paths["records"])
+    return {"paths": paths, "records": out["records"].rows}
+
+
+def _train_ffn(cfg, freq, proc, y, train_rows, val_rows, paths, epochs,
+               verbose):
+    """Params-only FFN training (reference: models/FFN(OnlyPar).py) — a
+    small dedicated loop (no images, no BatchNorm state)."""
+    import jax
+    import jax.numpy as jnp
+    from .models.ffn import ffn_forward, init_ffn
+    from .train.optimizer import adam_init, adam_update, lr_at_epoch
+    from .train.metrics import RecordsWriter
+    from .train.checkpoint import save_checkpoint
+
+    tc = cfg.train
+    key = jax.random.PRNGKey(tc.seed)
+    params = init_ffn(key, proc_dim=proc.shape[1],
+                      num_classes=cfg.model.num_classes)
+    opt = adam_init(params)
+
+    xs = jnp.asarray(proc[train_rows])
+    ys = jnp.asarray(y[train_rows])
+    xv = jnp.asarray(proc[val_rows])
+    yv = np.asarray(y[val_rows])
+
+    @jax.jit
+    def step(params, opt, idx, lr):
+        def loss_fn(p):
+            pred = ffn_forward(p, xs[idx]).reshape(-1)
+            yy = ys[idx]
+            return jnp.mean(jnp.square(pred - yy)), \
+                jnp.mean(jnp.abs(pred - yy))
+        (loss, mae_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        params, opt = adam_update(grads, opt, params, lr)
+        return params, opt, loss, mae_v
+
+    @jax.jit
+    def predict(params, x):
+        return ffn_forward(params, x).reshape(-1)
+
+    records = RecordsWriter()
+    n = len(train_rows)
+    epochs = epochs if epochs is not None else tc.epochs
+    for epoch in range(epochs):
+        lr = lr_at_epoch(tc.learning_rate, epoch, tc.lr_decay,
+                         tc.lr_decay_every)
+        perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(key, epoch + 1), n))
+        losses, maes = [], []
+        for s in range(0, n - tc.batch_size + 1, tc.batch_size):
+            idx = jnp.asarray(perm[s:s + tc.batch_size])
+            params, opt, loss, mae_v = step(params, opt, idx,
+                                            jnp.float32(lr))
+            losses.append(float(loss))
+            maes.append(float(mae_v))
+        pred_v = np.asarray(predict(params, xv))
+        val_loss = float(np.mean((pred_v - yv) ** 2))
+        val_mae = float(np.mean(np.abs(pred_v - yv)))
+        records.log(epoch, float(np.mean(losses)), float(np.mean(maes)),
+                    val_loss, val_mae, lr)
+        if verbose and (epoch + 1) % 50 == 0:
+            print(f"[{freq}] epoch {epoch + 1}/{epochs} "
+                  f"val_loss {val_loss:.4f}")
+    save_checkpoint(paths["weights"], params, {}, opt, step=epochs,
+                    metadata={"freq": freq, "config": "par"})
+    records.write(paths["records"])
+    return {"paths": paths, "records": records.rows}
+
+
+def test_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
+                time: Optional[int] = None, verbose: bool = True) -> Dict:
+    """Evaluate one target from its saved weights; writes
+    Predictions_Metrics xlsx + the two plots."""
+    import jax
+    from .train.checkpoint import latest_checkpoint, load_checkpoint
+    from .train.metrics import (mae, mse, r2_score,
+                                write_predictions_metrics)
+    from .tools.plots import plot_actual_vs_predicted, plot_r2_scatter
+
+    spec = _spec_for(cfg)
+    data, train_rows, val_rows = _load_target(cfg, freq, labels, procs)
+    paths = _paths(cfg, freq, time)
+
+    y_val = np.asarray(data["labels"])[val_rows]
+    ckpt = latest_checkpoint(paths["weights"])
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no checkpoint for {freq} under {paths['weights']} — "
+            "train first (the weight-naming convention mirrors the "
+            "reference's, models/CvT_test(Par).py:513)")
+
+    if cfg.inputs == "par":
+        from .models.ffn import ffn_forward, init_ffn
+        params = init_ffn(jax.random.PRNGKey(0),
+                          proc_dim=data["proc_scaled"].shape[1],
+                          num_classes=cfg.model.num_classes)
+        params, _, _, _ = load_checkpoint(ckpt, params, {})
+        pred = np.asarray(ffn_forward(
+            params, data["proc_scaled"][val_rows]).reshape(-1))
+    else:
+        from .train.loop import TrainLoop
+        loop = TrainLoop(spec, cfg.train)
+        loop.params, loop.state, _, _ = load_checkpoint(
+            ckpt, loop.params, loop.state)
+        proc = data["proc_scaled"] if cfg.inputs != "img" else None
+        pred = loop.predict(
+            data["images"][val_rows],
+            proc[val_rows] if proc is not None else None)
+
+    r2 = r2_score(y_val, pred)
+    m_mse = mse(y_val, pred)
+    m_mae = mae(y_val, pred)
+    write_predictions_metrics(paths["metrics"], freq, pred, y_val,
+                              len(train_rows), len(val_rows))
+    plot_r2_scatter(y_val, pred, r2, freq, paths["plot_scatter"])
+    plot_actual_vs_predicted(y_val, pred, freq, paths["plot_lines"])
+    if verbose:
+        print(f"[{freq}] R² {r2:.4f}  MSE {m_mse:.2f}  MAE {m_mae:.3f}")
+    return {"r2": r2, "mse": m_mse, "mae": m_mae, "paths": paths}
+
+
+def heatmap_target(cfg: ExperimentConfig, freq: str, layers: int = 10,
+                   n_images: int = 4, verbose: bool = True) -> Dict:
+    """Grad-CAM panels over trained weights (reference: `make heatmap`,
+    tools/grad_cam_CvT.py — which uses image_layers=10).  Writes
+    Result/Plots/{variant}/gradcam_{freq}_{k}.png."""
+    import jax
+    from .tools.grad_cam import gradcam_heatmaps, save_gradcam_panel
+    from .train.checkpoint import latest_checkpoint, load_checkpoint
+    from .train.loop import TrainLoop
+
+    assert cfg.inputs != "par", "Grad-CAM needs the image branch"
+    spec = _spec_for(cfg)
+    sub = dataclasses.replace(cfg.data, image_layers=layers)
+    sub_cfg = dataclasses.replace(cfg, data=sub)
+    data, train_rows, val_rows = _load_target(sub_cfg, freq, None, None)
+    paths = _paths(cfg, freq)
+
+    ckpt = latest_checkpoint(paths["weights"])
+    if ckpt is None:
+        raise FileNotFoundError(f"no trained weights for {freq}")
+    loop = TrainLoop(spec, cfg.train)
+    loop.params, loop.state, _, _ = load_checkpoint(ckpt, loop.params,
+                                                    loop.state)
+
+    rows = val_rows[:n_images]
+    imgs = data["images"][rows].astype(np.float32) / 255.0
+    proc = (data["proc_scaled"][rows] if cfg.inputs != "img" else None)
+    heatmaps, preds = gradcam_heatmaps(loop.params, loop.state, spec,
+                                       imgs, proc)
+    outs = []
+    for k in range(len(rows)):
+        out = os.path.join(cfg.result_dir, "Plots", cfg.variant_dir,
+                           f"gradcam_{freq}_{k}.png")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        save_gradcam_panel(out, imgs[k, :, :, 0], heatmaps[k],
+                           float(preds[k]),
+                           float(data["labels"][rows][k]))
+        outs.append(out)
+        if verbose:
+            print(f"wrote {out}")
+    return {"panels": outs}
+
+
+def run(cfg: ExperimentConfig, mode: str = "train",
+        epochs: Optional[int] = None, verbose: bool = True) -> Dict:
+    """Loop all configured targets (x repeats in '(many)' mode)."""
+    labels = LabelTable.load(cfg.data.excel_labels)
+    procs = ProcessTable.load(cfg.data.excel_process)
+    results = {}
+    times = range(1, cfg.train.repeats + 1) if cfg.train.repeats > 1 \
+        else [None]
+    for freq in cfg.frequencies:
+        for t in times:
+            if verbose:
+                tag = f" (run {t})" if t else ""
+                print(f"=== {mode} {freq}{tag} ===")
+            fn = train_target if mode == "train" else test_target
+            results[(freq, t)] = fn(cfg, freq, labels, procs, time=t,
+                                    verbose=verbose, **(
+                                        {"epochs": epochs}
+                                        if mode == "train" else {}))
+    return results

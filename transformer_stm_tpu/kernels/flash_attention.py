@@ -22,10 +22,16 @@ from __future__ import annotations
 import functools
 import math
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# CPU tests exercise the kernels via the Pallas interpreter
+# (TSTM_PALLAS_INTERPRET=1); on TPU they compile through Mosaic.
+_INTERPRET = os.environ.get("TSTM_PALLAS_INTERPRET", "0") == "1"
 
 NEG_INF = -1e30
 
@@ -38,17 +44,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, bk: int,
                   scale: float):
     """One (batch-head, q-block) program.
 
-    q_ref: (Bq, Dh), k_ref/v_ref: (S_pad, Dh), o_ref: (Bq, Dh).
+    q_ref: (1, Bq, Dh), k_ref/v_ref: (1, S_pad, Dh), o_ref: (1, Bq, Dh)
+    (leading 1 = the batch-head grid block).
     """
-    q = q_ref[:].astype(jnp.float32) * scale
+    q = q_ref[0].astype(jnp.float32) * scale
     bq, dh = q.shape
-    s_pad = k_ref.shape[0]
+    s_pad = k_ref.shape[1]
     num_kv = s_pad // bk
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(i * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         # mask out padded KV rows
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + i * bk
@@ -66,7 +73,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, bk: int,
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, _, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _flash_fwd_impl(q, k, v):
@@ -109,6 +116,7 @@ def _flash_fwd_impl(q, k, v):
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * t * s,
         ),
+        interpret=_INTERPRET,
     )(
         qf.reshape(b * h, t_pad, dh_pad),
         kf.reshape(b * h, s_pad, dh_pad),

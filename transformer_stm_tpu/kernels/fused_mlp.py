@@ -15,21 +15,46 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# CPU tests exercise the kernels via the Pallas interpreter
+# (TSTM_PALLAS_INTERPRET=1); on TPU they compile through Mosaic.
+_INTERPRET = os.environ.get("TSTM_PALLAS_INTERPRET", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs error 1.5e-7) —
+    Mosaic implements neither erf nor erfc, so the kernel carries its own.
+    The resulting GELU deviates from exact erf-GELU by < 1e-7 * |x|."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(x):
+    """erf-based GELU matching tf.nn.gelu(approximate=False) numerics to
+    ~1e-7 (reference MLP activation, models/CvT(Par).py:254)."""
+    return x * 0.5 * (1.0 + _erf_approx(x * 0.7071067811865476))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[:].astype(jnp.float32)
     h = jnp.dot(x, w1_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b1_ref[:]
-    h = jax.nn.gelu(h, approximate=False)
+    h = _gelu_exact(h)
     y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b2_ref[:]
     o_ref[:] = y.astype(o_ref.dtype)
@@ -81,5 +106,6 @@ def fused_mlp(x, w1, b1, w2, b2):
             bytes_accessed=(xf.size + w1p.size + w2p.size) * 4,
             transcendentals=n * hd,
         ),
+        interpret=_INTERPRET,
     )(xf, w1p, b1p, w2p, b2p)
     return y[:n, :out].reshape(*orig_shape[:-1], out)

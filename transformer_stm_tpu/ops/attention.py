@@ -27,7 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .common import dense, dropout, glorot_uniform, init_dense
+from .common import dense, dropout, glorot_uniform, init_dense, matmul_precision
 from .projection import init_projection, projection
 
 
@@ -78,11 +78,12 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
         return flash_attention(q, k, v)
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+    prec = matmul_precision(q.dtype)
     scores = jnp.einsum("bthd,bshd->bhts", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v,
-                      preferred_element_type=q.dtype)
+                      preferred_element_type=q.dtype, precision=prec)
 
 
 def mha(params, query, key, value, *, impl: str = "auto"):
@@ -92,7 +93,7 @@ def mha(params, query, key, value, *, impl: str = "auto"):
 
     def proj_in(p, x):
         y = jnp.einsum("bse,ehd->bshd", x, p["kernel"].astype(x.dtype),
-                       preferred_element_type=x.dtype)
+                       precision=matmul_precision(x.dtype))
         return y + p["bias"].astype(x.dtype)
 
     q = proj_in(params["query"], query)
@@ -101,7 +102,7 @@ def mha(params, query, key, value, *, impl: str = "auto"):
     o = _attention_core(q, k, v, impl=impl)
     out = jnp.einsum("bthd,hde->bte", o,
                      params["out"]["kernel"].astype(o.dtype),
-                     preferred_element_type=o.dtype)
+                     precision=matmul_precision(o.dtype))
     return out + params["out"]["bias"].astype(out.dtype)
 
 

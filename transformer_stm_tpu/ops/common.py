@@ -35,6 +35,14 @@ def glorot_uniform(key, shape, fan_in: int, fan_out: int, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -limit, limit)
 
 
+def matmul_precision(dtype):
+    """float32 inputs get full-precision MXU passes (3-pass bf16 on TPU,
+    strict fp32 on CPU) — required for the <=1e-3 logits-parity contract.
+    bfloat16 inputs (the throughput path) use the fast default."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 \
+        else lax.Precision.DEFAULT
+
+
 # ---------------------------------------------------------------------------
 # Padding
 # ---------------------------------------------------------------------------
@@ -77,9 +85,9 @@ def conv2d(params, x, stride: int = 1, padding: str = "same"):
     else:
         pad = ((0, 0), (0, 0))
     y = lax.conv_general_dilated(
-        x, params["kernel"], window_strides=(stride, stride), padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
+        x, params["kernel"].astype(x.dtype), window_strides=(stride, stride),
+        padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=matmul_precision(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y
@@ -117,9 +125,9 @@ def depthwise_conv2d(params, x, stride: int = 1, padding: str = "same"):
     kernel = jnp.transpose(params["kernel"], (0, 1, 3, 2)).reshape(
         kh, kw, 1, c * mult)
     y = lax.conv_general_dilated(
-        x, kernel, window_strides=(stride, stride), padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c, preferred_element_type=x.dtype)
+        x, kernel.astype(x.dtype), window_strides=(stride, stride),
+        padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, precision=matmul_precision(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y
@@ -141,7 +149,7 @@ def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True,
 def dense(params, x):
     """y = x @ W + b on the last axis — an MXU matmul when batched."""
     y = jnp.matmul(x, params["kernel"].astype(x.dtype),
-                   preferred_element_type=x.dtype)
+                   precision=matmul_precision(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y

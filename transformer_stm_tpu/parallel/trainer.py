@@ -1,0 +1,124 @@
+"""Sharded (multi-chip) training step via jit + GSPMD.
+
+The single-device step (train/loop.py) is reused verbatim: under jit with
+sharded inputs, XLA turns the batch-mean gradient into a DP allreduce over
+ICI and the TP-annotated matmuls into partial matmuls + collectives.  There
+is no separate "distributed trainer algorithm" — that is the point of the
+TPU-native design (SURVEY.md §2.3).
+
+BatchNorm note: batch statistics are jnp.means over the batch axis; with the
+batch sharded over 'data', GSPMD computes the *global* mean automatically —
+synchronised BatchNorm falls out for free (the single-device code passes
+axis_name=None).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CvTSpec, TrainConfig
+from ..train.loop import make_train_step, make_eval_step
+from ..train.optimizer import AdamState, adam_init
+from .sharding import batch_sharding, cvt_param_sharding, replicate
+
+
+def make_sharded_train_step(spec: CvTSpec, cfg: TrainConfig, mesh: Mesh,
+                            params, state, opt: AdamState,
+                            tensor_parallel: bool = True,
+                            impl: str = "auto"):
+    """Returns (step_fn, sharded (params, state, opt)).
+
+    step_fn(params, state, opt, batch, rng, lr) with batch =
+    (images, proc, labels, mask) sharded over 'data'.
+    """
+    pspec = cvt_param_sharding(params, mesh, tensor_parallel)
+    rep = replicate(mesh)
+    state_s = jax.tree_util.tree_map(lambda _: rep, state)
+    opt_s = AdamState(step=rep,
+                      mu=cvt_param_sharding(opt.mu, mesh, tensor_parallel),
+                      nu=cvt_param_sharding(opt.nu, mesh, tensor_parallel))
+
+    params = jax.device_put(params, pspec)
+    state = jax.device_put(state, state_s)
+    opt = jax.device_put(
+        opt, AdamState(step=rep, mu=opt_s.mu, nu=opt_s.nu))
+
+    data4 = batch_sharding(mesh, 4)
+    data2 = batch_sharding(mesh, 2)
+    data1 = batch_sharding(mesh, 1)
+    batch_shardings = (data4, data2, data1, data1)
+
+    step = make_train_step(spec, cfg, axis_name=None, impl=impl)
+    step = jax.jit(
+        step,
+        in_shardings=(pspec, state_s, opt_s, batch_shardings, rep, rep),
+        out_shardings=(pspec, state_s, opt_s, None),
+        donate_argnums=(0, 1, 2),
+    )
+    return step, (params, state, opt)
+
+
+class ShardedTrainer:
+    """Multi-chip DP(+TP) trainer wrapping the same epoch orchestration as
+    train.TrainLoop; batches are globally shuffled then sharded over 'data'."""
+
+    def __init__(self, spec: CvTSpec, cfg: TrainConfig, mesh: Mesh,
+                 tensor_parallel: bool = True, impl: str = "auto"):
+        from ..models.cvt import init_cvt
+
+        self.spec, self.cfg, self.mesh = spec, cfg, mesh
+        key = jax.random.PRNGKey(cfg.seed)
+        self.init_key, self.shuffle_key, self.dropout_key = \
+            jax.random.split(key, 3)
+        params, state = init_cvt(self.init_key, spec)
+        opt = adam_init(params)
+        self._step, (self.params, self.state, self.opt) = \
+            make_sharded_train_step(spec, cfg, mesh, params, state, opt,
+                                    tensor_parallel, impl)
+        self.eval_step = jax.jit(
+            make_eval_step(spec, cfg, impl=impl),
+            in_shardings=(cvt_param_sharding(params, mesh, tensor_parallel),
+                          jax.tree_util.tree_map(
+                              lambda _: replicate(mesh), state),
+                          batch_sharding(mesh, 4), batch_sharding(mesh, 2)),
+        )
+
+    def train_epoch(self, images, proc, labels, epoch: int):
+        from ..train.optimizer import lr_at_epoch
+
+        cfg = self.cfg
+        n = len(labels)
+        bs = cfg.batch_size
+        lr = lr_at_epoch(cfg.learning_rate, epoch, cfg.lr_decay,
+                         cfg.lr_decay_every)
+        key = jax.random.fold_in(self.shuffle_key, epoch)
+        perm = np.asarray(jax.random.permutation(key, n))
+        tot_se = tot_ae = tot_n = 0.0
+        for bi, s in enumerate(range(0, n, bs)):
+            idx = perm[s:s + bs]
+            real = len(idx)
+            if real < bs:
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            mask = np.zeros(bs, np.float32)
+            mask[:real] = 1.0
+            x = images[idx]
+            x = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+            batch = (jnp.asarray(x),
+                     jnp.asarray(proc[idx]) if proc is not None else None,
+                     jnp.asarray(np.asarray(labels)[idx], np.float32),
+                     jnp.asarray(mask))
+            rng = jax.random.fold_in(
+                jax.random.fold_in(self.dropout_key, epoch), bi)
+            self.params, self.state, self.opt, m = self._step(
+                self.params, self.state, self.opt, batch, rng,
+                jnp.float32(lr))
+            tot_se += float(m["se"])
+            tot_ae += float(m["ae"])
+            tot_n += float(m["n"])
+        return {"loss": tot_se / tot_n, "mae": tot_ae / tot_n, "lr": lr}

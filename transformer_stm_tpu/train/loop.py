@@ -1,0 +1,230 @@
+"""Jitted training / evaluation loop.
+
+Replaces the reference's model.fit harness (models/CvT(Par).py:464-476):
+Adam + MSE loss + MAE metric, per-epoch shuffling, per-epoch validation,
+LR x0.8 every 50 epochs, per-epoch records — plus what the reference lacks
+(SURVEY.md §5.3-5.4): mid-run checkpointing with resume, seeded determinism,
+and optional data-parallel sharding over a device mesh.
+
+TPU-first details:
+- one compiled train step reused for every batch: the last partial batch is
+  padded to the static batch size and masked in the loss/metrics, so XLA
+  compiles exactly one step (no recompiles, bitwise-correct epoch metrics);
+- params/opt-state donation keeps HBM flat;
+- batches are built on host as one epoch-wide gather then fed
+  device_put'ed per step (sharded along 'data' when a mesh is given).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CvTSpec, TrainConfig
+from ..models.cvt import cvt_forward
+from .optimizer import AdamState, adam_init, adam_update, lr_at_epoch
+
+
+def _masked_mse_mae(pred, y, mask):
+    """Mean over *real* rows only — matches Keras metrics over an epoch when
+    the final batch is padded."""
+    pred = pred.reshape(-1).astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mask), 1.0)
+    se = jnp.sum(jnp.square(pred - y) * mask)
+    ae = jnp.sum(jnp.abs(pred - y) * mask)
+    return se / n, ae / n, se, ae
+
+
+def make_train_step(spec: CvTSpec, cfg: TrainConfig,
+                    axis_name: Optional[str] = None,
+                    impl: str = "auto") -> Callable:
+    """Returns step(params, state, opt, batch, rng, lr) ->
+    (params, state, opt, metrics).  batch = (images, proc, labels, mask).
+
+    With axis_name set, gradients/metrics are psum'ed across the 'data' mesh
+    axis — the ICI allreduce that replaces the reference's absent
+    distributed backend (SURVEY.md §2.4).
+    """
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+
+    def loss_fn(params, state, images, proc, labels, mask, rng):
+        x = images.astype(compute_dtype)
+        p = proc.astype(compute_dtype) if proc is not None else None
+        out, new_state = cvt_forward(params, state, spec, x, p, train=True,
+                                     rng=rng, impl=impl, axis_name=axis_name)
+        loss, mae_v, se, ae = _masked_mse_mae(out, labels, mask)
+        return loss, (new_state, mae_v, se, ae)
+
+    def step(params, state, opt: AdamState, batch, rng, lr):
+        images, proc, labels, mask = batch
+        (loss, (new_state, mae_v, se, ae)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, images, proc, labels,
+                                   mask, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            mae_v = jax.lax.pmean(mae_v, axis_name)
+        params, opt = adam_update(grads, opt, params, lr,
+                                  weight_decay=cfg.weight_decay)
+        metrics = {"loss": loss, "mae": mae_v, "se": se, "ae": ae,
+                   "n": jnp.sum(mask)}
+        return params, state_merge(state, new_state), opt, metrics
+
+    return step
+
+
+def state_merge(old, new):
+    """BatchNorm state update — new state simply replaces old."""
+    return new
+
+
+def make_eval_step(spec: CvTSpec, cfg: TrainConfig,
+                   impl: str = "auto") -> Callable:
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+
+    def step(params, state, images, proc):
+        x = images.astype(compute_dtype)
+        p = proc.astype(compute_dtype) if proc is not None else None
+        out, _ = cvt_forward(params, state, spec, x, p, train=False,
+                             impl=impl)
+        return out.reshape(-1).astype(jnp.float32)
+
+    return step
+
+
+class TrainLoop:
+    """Single-host training orchestrator (multi-chip via parallel.trainer).
+
+    Usage:
+        loop = TrainLoop(spec, cfg)
+        result = loop.fit(images, proc, labels, val=(vi, vp, vl))
+    images are uint8 (N, H, W, 1); normalization (/255) happens on device
+    (models/CvT(Par).py:423 parity).
+    """
+
+    def __init__(self, spec: CvTSpec, cfg: TrainConfig, impl: str = "auto",
+                 callbacks=None):
+        self.spec = spec
+        self.cfg = cfg
+        self.impl = impl
+        self.callbacks = callbacks or []
+        key = jax.random.PRNGKey(cfg.seed)
+        self.init_key, self.shuffle_key, self.dropout_key = \
+            jax.random.split(key, 3)
+        from ..models.cvt import init_cvt
+        self.params, self.state = init_cvt(self.init_key, spec)
+        self.opt = adam_init(self.params)
+        self.epoch = 0
+        self._step = jax.jit(make_train_step(spec, cfg, impl=impl),
+                             donate_argnums=(0, 1, 2))
+        self._eval = jax.jit(make_eval_step(spec, cfg, impl=impl))
+
+    # -- data feeding ------------------------------------------------------
+
+    def _batches(self, n: int, epoch: int):
+        """Shuffled batch index arrays; the final partial batch is padded
+        (pad rows masked out in loss/metrics)."""
+        bs = self.cfg.batch_size
+        key = jax.random.fold_in(self.shuffle_key, epoch)
+        perm = np.asarray(jax.random.permutation(key, n))
+        for s in range(0, n, bs):
+            idx = perm[s:s + bs]
+            real = len(idx)
+            if real < bs:
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            mask = np.zeros(bs, np.float32)
+            mask[:real] = 1.0
+            yield idx, mask
+
+    def _prep(self, images, idx):
+        x = images[idx].astype(np.float32) / 255.0 \
+            if images.dtype == np.uint8 else images[idx]
+        return x
+
+    # -- API ---------------------------------------------------------------
+
+    def fit(self, images, proc, labels, val=None, epochs: Optional[int] = None,
+            records=None, verbose: bool = True,
+            checkpoint_dir: Optional[str] = None):
+        """Returns dict with final params/state and per-epoch records."""
+        from .metrics import RecordsWriter
+        from .checkpoint import save_checkpoint
+
+        cfg = self.cfg
+        n = len(labels)
+        epochs = epochs if epochs is not None else cfg.epochs
+        records = records if records is not None else RecordsWriter()
+        labels = np.asarray(labels, np.float32)
+
+        for epoch in range(self.epoch, epochs):
+            lr = lr_at_epoch(cfg.learning_rate, epoch, cfg.lr_decay,
+                             cfg.lr_decay_every)
+            t0 = time.time()
+            tot_se = tot_ae = tot_n = 0.0
+            for bi, (idx, mask) in enumerate(self._batches(n, epoch)):
+                batch = (jnp.asarray(self._prep(images, idx)),
+                         jnp.asarray(proc[idx]) if proc is not None else None,
+                         jnp.asarray(labels[idx]), jnp.asarray(mask))
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(self.dropout_key, epoch), bi)
+                self.params, self.state, self.opt, m = self._step(
+                    self.params, self.state, self.opt, batch, rng,
+                    jnp.float32(lr))
+                tot_se += float(m["se"])
+                tot_ae += float(m["ae"])
+                tot_n += float(m["n"])
+            loss = tot_se / tot_n
+            mae_v = tot_ae / tot_n
+
+            val_loss = val_mae = None
+            if val is not None:
+                vi, vp, vl = val
+                pred = self.predict(vi, vp)
+                vl = np.asarray(vl, np.float64).ravel()
+                val_loss = float(np.mean((pred - vl) ** 2))
+                val_mae = float(np.mean(np.abs(pred - vl)))
+
+            records.log(epoch, loss, mae_v, val_loss, val_mae, lr)
+            if verbose:
+                msg = (f"epoch {epoch + 1}/{epochs} loss {loss:.4f} "
+                       f"mae {mae_v:.4f}")
+                if val_loss is not None:
+                    msg += f" val_loss {val_loss:.4f} val_mae {val_mae:.4f}"
+                print(msg + f" lr {lr:.2e} ({time.time() - t0:.1f}s)")
+            for cb in self.callbacks:
+                cb(self, epoch, {"loss": loss, "mae": mae_v,
+                                 "val_loss": val_loss, "val_mae": val_mae})
+
+            self.epoch = epoch + 1
+            if (checkpoint_dir and cfg.checkpoint_every
+                    and (epoch + 1) % cfg.checkpoint_every == 0):
+                save_checkpoint(checkpoint_dir, self.params, self.state,
+                                self.opt, step=self.epoch)
+
+        return {"params": self.params, "state": self.state,
+                "opt": self.opt, "records": records}
+
+    def predict(self, images, proc, batch_size: Optional[int] = None):
+        """Batched inference -> np.float32 (N,)."""
+        bs = batch_size or self.cfg.batch_size
+        n = len(images)
+        outs = []
+        for s in range(0, n, bs):
+            idx = np.arange(s, min(s + bs, n))
+            real = len(idx)
+            if real < bs:  # pad to keep one compiled shape
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            out = self._eval(self.params, self.state,
+                             jnp.asarray(self._prep(images, idx)),
+                             jnp.asarray(proc[idx])
+                             if proc is not None else None)
+            outs.append(np.asarray(out)[:real])
+        return np.concatenate(outs)
