@@ -19,19 +19,36 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 10_000.0
 
 
+_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+
 def _sync(x):
     """Force completion. On the axon (tunnelled-TPU) platform
-    block_until_ready resolves before execution finishes, so fetch a scalar
-    to the host — that cannot complete early."""
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
+    block_until_ready can resolve before execution finishes, so fetch a
+    device-reduced scalar — completion of the fetch implies completion of
+    everything queued before it, and only 4 bytes cross the tunnel."""
+    float(_sum(jax.tree_util.tree_leaves(x)[0]))
 
 
-def _time_fn(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
+def _time_fn(fn, *args, iters=20, warmup=3, vary=None):
+    """vary: index of the arg to perturb per iteration (defeats any
+    result caching for identical calls)."""
+    args = list(args)
+    variants = None
+    if vary is not None:
+        base = args[vary]
+        variants = [base + jnp.asarray(i, base.dtype) for i in range(iters)]
+        for v in variants:
+            v.block_until_ready()
+    for w in range(warmup):
+        if variants is not None:
+            args[vary] = variants[w % iters]
         out = fn(*args)
     _sync(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
+        if variants is not None:
+            args[vary] = variants[i]
         out = fn(*args)
     _sync(out)
     return (time.perf_counter() - t0) / iters
@@ -51,7 +68,7 @@ def bench_vit_inference(batch=512, dtype=jnp.bfloat16):
     def fn(p, x):
         return vit_forward(p, spec, x, train=False)
 
-    dt = _time_fn(fn, params, images)
+    dt = _time_fn(fn, params, images, vary=1)
     return batch / dt
 
 
@@ -72,7 +89,7 @@ def bench_cvt_inference(batch=512, dtype=jnp.bfloat16):
         out, _ = cvt_forward(p, s, spec, x, pr, train=False)
         return out
 
-    dt = _time_fn(fn, params, state, images, proc)
+    dt = _time_fn(fn, params, state, images, proc, vary=2)
     return batch / dt
 
 
@@ -100,6 +117,7 @@ def bench_cvt_train_step(batch=128):
         return step(p, s, o, batch_data, rng, lr)
 
     # run via apply to keep state threading simple
+    # params mutate every step -> no caching possible
     for _ in range(2):
         params, state, opt, m = fn(params, state, opt)
     _sync(m["loss"])

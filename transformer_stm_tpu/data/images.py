@@ -36,17 +36,34 @@ def _specimen_dir(cfg: DataConfig, spec_idx: int) -> str:
                         f"circle(340x345)/trail{group:01d}_{piece:02d}")
 
 
-def decode_specimen(cfg: DataConfig, spec_idx: int) -> np.ndarray:
+def decode_specimen(cfg: DataConfig, spec_idx: int,
+                    use_native: Optional[bool] = None) -> np.ndarray:
     """Decode one specimen's image_layers JPEGs -> (L, H, W) uint8 gray,
     bit-exact with the reference's cv2 pipeline (resize INTER_LINEAR on the
-    3-channel image first, then BGR2GRAY — order matters)."""
+    3-channel image first, then BGR2GRAY — order matters).
+
+    Fast path: the native C++ loader (data/native.py — threaded libjpeg
+    decode + OpenCV-fixed-point resize/gray, bit-identical to cv2, verified
+    in tests/test_native.py).  Falls back to cv2 per image.
+    """
+    folder = _specimen_dir(cfg, spec_idx)
+    paths = [os.path.join(folder, f"layer_{i + 1:02d}.jpg")
+             for i in range(cfg.image_layers)]
+
+    if use_native is not False:
+        from . import native
+        if native.available():
+            try:
+                return native.decode_batch(paths, cfg.image_height,
+                                           cfg.image_width)
+            except IOError:
+                pass  # fall through to cv2 for a precise error
+
     import cv2
 
-    folder = _specimen_dir(cfg, spec_idx)
     out = np.empty((cfg.image_layers, cfg.image_height, cfg.image_width),
                    np.uint8)
-    for i in range(cfg.image_layers):
-        fn = os.path.join(folder, f"layer_{i + 1:02d}.jpg")
+    for i, fn in enumerate(paths):
         img = cv2.imread(fn)
         if img is None:
             raise FileNotFoundError(fn)
