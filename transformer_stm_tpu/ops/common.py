@@ -237,8 +237,27 @@ def avg_pool_same(x, pool_size: int, stride: int):
 
 def gelu(x):
     """Exact (erf) GELU = tf.nn.gelu default, used by the reference MLP
-    (models/CvT(Par).py:254). NB jax.nn.gelu defaults to approximate=True."""
+    (models/CvT(Par).py:254). NB jax.nn.gelu defaults to approximate=True.
+
+    bfloat16 inputs use the Abramowitz-Stegun rational erf (max error
+    1.5e-7, far below bf16 resolution ~8e-3 — numerically identical at
+    bf16) because XLA's exact erf expansion dominates MLP time on TPU
+    (measured 7x on ViT-S shapes)."""
+    if x.dtype == jnp.bfloat16:
+        xf = x.astype(jnp.float32)
+        y = xf * 0.5 * (1.0 + _erf_rational(xf * 0.7071067811865476))
+        return y.astype(x.dtype)
     return jax.nn.gelu(x, approximate=False)
+
+
+def _erf_rational(x):
+    """A&S 7.1.26 rational erf approximation (|err| <= 1.5e-7)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def dropout(key, x, rate: float, train: bool):
