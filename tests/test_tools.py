@@ -1,0 +1,173 @@
+"""Tools: plots, monitor, prep utilities, model diagram, Grad-CAM numerics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from transformer_stm_tpu.config import DataConfig, ExperimentConfig
+
+REF = "/root/reference"
+
+
+def test_plot_records(tmp_path):
+    from transformer_stm_tpu.train.metrics import RecordsWriter
+    from transformer_stm_tpu.tools.plots import plot_records
+
+    w = RecordsWriter()
+    for e in range(20):
+        w.log(e, 10.0 / (e + 1), 2.0 / (e + 1), 12.0 / (e + 1),
+              2.5 / (e + 1), 1e-3)
+    rec = str(tmp_path / "records.xlsx")
+    w.write(rec)
+    out = str(tmp_path / "records.png")
+    plot_records(rec, out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_prediction_plots(tmp_path):
+    from transformer_stm_tpu.tools.plots import (
+        plot_actual_vs_predicted, plot_r2_scatter)
+
+    rng = np.random.default_rng(0)
+    y = rng.uniform(10, 100, 200)
+    p = y + rng.normal(0, 2, 200)
+    s1 = str(tmp_path / "s.png")
+    s2 = str(tmp_path / "l.png")
+    plot_r2_scatter(y, p, 0.99, "50HZ_Bm", s1)
+    plot_actual_vs_predicted(y, p, "50HZ_Bm", s2)
+    assert os.path.getsize(s1) > 1000 and os.path.getsize(s2) > 1000
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_compare_plots_with_committed_baselines(tmp_path):
+    """Reads the reference's committed GLCM spreadsheets + one of its
+    committed Predictions_Metrics files (reference: tools/Compare_plot.py,
+    Compare_r.py)."""
+    from transformer_stm_tpu.tools.plots import (
+        plot_compare_predictions, plot_compare_r2, read_glcm_baseline)
+
+    glcm = f"{REF}/Result/Excel/glcm"
+    b = read_glcm_baseline(glcm, "Hc", "lightgbm", "50HZ_Hc")
+    assert 0.8 < b["r2"] <= 1.0
+    assert len(b["predictions"]) > 0
+
+    cvt = (f"{REF}/Result/Excel/Images & Parameters/"
+           "Predictions_Metrics_50HZ_Hc.xlsx")
+    out1 = str(tmp_path / "cmp.png")
+    plot_compare_predictions(cvt, glcm, "Hc", "50HZ_Hc", out1,
+                             models=("lightgbm", "xgboost"))
+    assert os.path.getsize(out1) > 1000
+
+    metrics_by_freq = {
+        f: (f"{REF}/Result/Excel/Images & Parameters/"
+            f"Predictions_Metrics_{f}.xlsx")
+        for f in ("50HZ_Hc", "200HZ_Hc", "400HZ_Hc", "800HZ_Hc")}
+    out2 = str(tmp_path / "r2.png")
+    plot_compare_r2(metrics_by_freq, glcm, "Hc", out2)
+    assert os.path.getsize(out2) > 1000
+
+
+def test_monitor_stats():
+    from transformer_stm_tpu.tools.monitor import cpu_ram_stats, format_line
+
+    s = cpu_ram_stats()
+    assert s["ram_total_gb"] > 0
+    assert isinstance(format_line(), str)
+
+
+def test_model_plot(tmp_path):
+    from transformer_stm_tpu.tools.model_plot import (
+        model_summary, plot_model_structure)
+
+    cfg = ExperimentConfig()
+    out = str(tmp_path / "model.png")
+    plot_model_structure(cfg, out)
+    assert os.path.getsize(out) > 1000
+    summary = model_summary(cfg)
+    assert "total:" in summary
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_pickup_matches_committed_processed_labels(tmp_path):
+    """Our IQR prep over the raw Circle_test.xlsx must null the same cells
+    the committed Processed_Circle_test.xlsx has empty."""
+    from transformer_stm_tpu.config import FREQUENCIES
+    from transformer_stm_tpu.data.xlsx import read_table
+    from transformer_stm_tpu.tools.prep import pick_up_data
+
+    out = str(tmp_path / "processed.xlsx")
+    pick_up_data(f"{REF}/Excel/Circle_test.xlsx", out)
+    cols_o, rows_o = read_table(out)
+    cols_r, rows_r = read_table(f"{REF}/Excel/Processed_Circle_test.xlsx")
+    mism = 0
+    total = 0
+    for f in FREQUENCIES:
+        ci_o, ci_r = cols_o.index(f), cols_r.index(f)
+        for ro, rr in zip(rows_o, rows_r):
+            vo = ro[ci_o] if ci_o < len(ro) else None
+            vr = rr[ci_r] if ci_r < len(rr) else None
+            total += 1
+            if (vo is None) != (vr is None):
+                mism += 1
+    # the committed file may include manual edits; demand >= 99% agreement
+    assert mism / total < 0.01, f"{mism}/{total} NaN-pattern mismatches"
+
+
+def test_to_ml_excel(tmp_path):
+    from transformer_stm_tpu.data.xlsx import read_xlsx, write_xlsx
+    from transformer_stm_tpu.tools.prep import to_ml_excel
+
+    rows = [["", "50HZ_Bm"], *[[i, 10.0 + i] for i in range(10)]]
+    rows[3][1] = None  # piece 2 of group 1 invalid
+    src = str(tmp_path / "labels.xlsx")
+    write_xlsx(src, {"Sheet1": rows})
+    dst = str(tmp_path / "ml.xlsx")
+    to_ml_excel(src, dst)
+    back = read_xlsx(dst)
+    assert set(back) == {"test", "train"}
+    # group 1's first valid (row 0) is test -> masked 'X' in train sheet
+    assert back["train"][1][1] == "X"
+    assert back["test"][1][1] == 10.0
+
+
+def test_gradcam_numerics():
+    """Grad-CAM on a tiny CvT: heatmaps normalised to [0,1], finite, and
+    responsive to the input."""
+    import jax
+    from transformer_stm_tpu.config import CvTSpec, StageSpec
+    from transformer_stm_tpu.models import init_cvt
+    from transformer_stm_tpu.tools.grad_cam import gradcam_heatmaps
+
+    spec = CvTSpec(
+        stages=(
+            StageSpec(embed_dim=8, patch_size=7, stride=4, num_heads=1),
+            StageSpec(embed_dim=16, patch_size=3, stride=2, num_heads=2),
+            StageSpec(embed_dim=16, patch_size=3, stride=2, num_heads=2,
+                      with_cls_token=True),
+        ),
+        image_height=32, image_width=32,
+    )
+    params, state = init_cvt(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+    proc = rng.normal(size=(2, 5)).astype(np.float32)
+    heat, preds = gradcam_heatmaps(params, state, spec, imgs, proc)
+    assert heat.shape == (2, 2, 2)  # stage-3 grid at 32px
+    assert np.all(np.isfinite(heat))
+    assert heat.min() >= 0.0 and heat.max() <= 1.0 + 1e-6
+    assert np.all(np.isfinite(preds))
+
+
+def test_gradcam_overlay_and_panel(tmp_path):
+    from transformer_stm_tpu.tools.grad_cam import (
+        overlay_heatmap, save_gradcam_panel)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 32))
+    heat = rng.uniform(0, 1, (4, 4))
+    over = overlay_heatmap(img, heat)
+    assert over.shape == (32, 32, 3)
+    out = str(tmp_path / "cam.png")
+    save_gradcam_panel(out, img, heat, 1.23, 1.11)
+    assert os.path.getsize(out) > 1000

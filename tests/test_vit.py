@@ -1,0 +1,97 @@
+"""ViT classification path (BASELINE.json configs 1-4): forward shapes,
+fine-tune learns, augmentation semantics, softmax-xent numerics."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_stm_tpu.config import TrainConfig, ViTSpec, VIT_PRESETS
+from transformer_stm_tpu.data.augment import AugmentConfig, augment_batch
+from transformer_stm_tpu.models import init_vit, vit_forward
+from transformer_stm_tpu.train.vit_train import (
+    ViTTrainer, softmax_xent)
+
+TINY = ViTSpec(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+               image_size=32, num_channels=1, num_classes=4,
+               dropout_rate=0.1)
+
+
+def test_vit_presets_shapes():
+    for name, spec in VIT_PRESETS.items():
+        small = dataclasses.replace(spec, depth=1, image_size=64)
+        params = init_vit(jax.random.PRNGKey(0), small)
+        x = jnp.zeros((2, 64, 64, 3))
+        out = vit_forward(params, small, x, impl="xla")
+        assert out.shape == (2, spec.num_classes), name
+
+
+def test_softmax_xent_matches_manual():
+    logits = jnp.asarray([[2.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+    labels = jnp.asarray([0, 2])
+    per = softmax_xent(logits, labels, 3)
+    manual = -jax.nn.log_softmax(logits)[jnp.arange(2), labels]
+    np.testing.assert_allclose(np.asarray(per), np.asarray(manual),
+                               rtol=1e-6)
+    # smoothing reduces confidence target
+    sm = softmax_xent(logits, labels, 3, label_smoothing=0.1)
+    assert float(sm[0]) > float(per[0])
+
+
+def _toy_classification(n=96, seed=0):
+    """4 classes distinguished by which image quadrant is bright."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 4, n)
+    images = rng.uniform(0, 0.2, (n, 32, 32, 1)).astype(np.float32)
+    for i, c in enumerate(labels):
+        y0, x0 = (c // 2) * 16, (c % 2) * 16
+        images[i, y0:y0 + 16, x0:x0 + 16, 0] += 0.7
+    return images, labels
+
+
+def test_vit_finetune_learns():
+    images, labels = _toy_classification()
+    cfg = TrainConfig(epochs=35, batch_size=32, learning_rate=3e-3,
+                      optimizer="adamw", weight_decay=1e-4,
+                      label_smoothing=0.1, seed=0)
+    trainer = ViTTrainer(TINY, cfg, impl="xla")
+    accs = [trainer.train_epoch(images, labels)["acc"]
+            for _ in range(cfg.epochs)]
+    assert accs[-1] > 0.9, accs
+    logits = trainer.predict(images[:40])
+    assert (np.argmax(logits, -1) == labels[:40]).mean() > 0.9
+
+
+def test_augment_preserves_shape_and_range():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 1))
+    y = augment_batch(rng, x)
+    assert y.shape == x.shape
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+
+
+def test_augment_identity_config():
+    cfg = AugmentConfig(horizontal_flip=False, vertical_flip=False,
+                        rot90=False, crop_padding=0, brightness=0.0,
+                        contrast=0.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    y = augment_batch(jax.random.PRNGKey(0), x, cfg)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-7)
+
+
+def test_augment_deterministic_per_key():
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    y1 = augment_batch(jax.random.PRNGKey(5), x)
+    y2 = augment_batch(jax.random.PRNGKey(5), x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_vit_train_with_augmentation_runs():
+    images, labels = _toy_classification(n=32)
+    cfg = TrainConfig(epochs=1, batch_size=16)
+    trainer = ViTTrainer(TINY, cfg, augment=AugmentConfig(), impl="xla")
+    m = trainer.train_epoch(images, labels)
+    assert np.isfinite(m["loss"])

@@ -204,29 +204,34 @@ def _to_jsonable(obj: Any) -> Any:
     return obj
 
 
+# nested-dataclass fields, keyed by (owning class, field name) so plain
+# fields that happen to share a name (e.g. MeshConfig.data: int) are left
+# alone
+_NESTED = {
+    (CvTSpec, "stages"): ("tuple", StageSpec),
+    (ExperimentConfig, "model"): ("one", CvTSpec),
+    (ExperimentConfig, "data"): ("one", DataConfig),
+    (ExperimentConfig, "train"): ("one", TrainConfig),
+    (ExperimentConfig, "mesh"): ("one", MeshConfig),
+}
+
+
 def _from_dict(cls, d):
     if not dataclasses.is_dataclass(cls):
         return d
     kwargs = {}
-    hints = {f.name: f.type for f in dataclasses.fields(cls)}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if f.name == "stages":
-            v = tuple(_from_dict(StageSpec, s) for s in v)
-        elif f.name == "frequencies":
+        nested = _NESTED.get((cls, f.name))
+        if nested is not None:
+            kind, sub = nested
+            v = (tuple(_from_dict(sub, s) for s in v) if kind == "tuple"
+                 else _from_dict(sub, v))
+        elif isinstance(v, list):
             v = tuple(v)
-        elif f.name == "model":
-            v = _from_dict(CvTSpec, v)
-        elif f.name == "data":
-            v = _from_dict(DataConfig, v)
-        elif f.name == "train":
-            v = _from_dict(TrainConfig, v)
-        elif f.name == "mesh":
-            v = _from_dict(MeshConfig, v)
         kwargs[f.name] = v
-    del hints
     return cls(**kwargs)
 
 

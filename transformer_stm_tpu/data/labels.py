@@ -28,6 +28,19 @@ def _is_nan(v) -> bool:
     return v is None or (isinstance(v, float) and math.isnan(v))
 
 
+def coerce_float(v) -> Optional[float]:
+    """Cells in the raw Circle_test.xlsx hold numbers as *text* (shared
+    strings); coerce, mapping non-numeric/empty to None."""
+    if _is_nan(v):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    try:
+        return float(str(v).strip())
+    except ValueError:
+        return None
+
+
 @dataclass
 class LabelTable:
     """Processed_Circle_test.xlsx: one row per specimen, one column per
@@ -121,11 +134,12 @@ def iqr_filter(values: Sequence[float]) -> List[Optional[float]]:
     (tools/PickUpData.py:15-25): drop v outside
     [Q1 - 1.5*IQR, Q3 + 1.5*IQR] (quartiles via linear interpolation,
     matching pandas quantile)."""
-    arr = np.array([v for v in values if not _is_nan(v)], np.float64)
+    nums = [coerce_float(v) for v in values]
+    arr = np.array([v for v in nums if v is not None], np.float64)
     if arr.size == 0:
-        return list(values)
+        return [None] * len(values)
     q1 = np.percentile(arr, 25)
     q3 = np.percentile(arr, 75)
     iqr = q3 - q1
     lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
-    return [None if (_is_nan(v) or v < lo or v > hi) else v for v in values]
+    return [None if (v is None or v < lo or v > hi) else v for v in nums]
