@@ -113,6 +113,15 @@ VIT_PRESETS = {
 }
 
 
+def cvt_highres_spec(size: int = 384) -> "CvTSpec":
+    """High-res melt-pool stretch config (BASELINE.json config 5):
+    the same CvT pyramid at 384/512px.  Stage-1 sequences reach
+    96x96=9,216 (384px) / 128x128=16,384 (512px) tokens — past the
+    1M-score threshold where attention auto-routes to the Pallas flash
+    kernel (ops/attention._attention_core), keeping memory O(seq)."""
+    return CvTSpec(image_height=size, image_width=size)
+
+
 @dataclass(frozen=True)
 class DataConfig:
     """Dataset ranges (reference: models/CvT(Par).py:30-42)."""
