@@ -100,6 +100,19 @@ def main(argv=None):
 
     sub.add_parser("bench", help="run the throughput benchmark")
 
+    p = sub.add_parser("compare", help="CvT vs classical-ML baselines")
+    p.add_argument("--metrics-dir", required=True,
+                   help="dir of Predictions_Metrics_{freq}.xlsx")
+    p.add_argument("--glcm-dir",
+                   default="/root/reference/Result/Excel/glcm")
+    p.add_argument("--prop", default="Hc",
+                   choices=["Bm", "Hc", "μa", "Br", "Pcv"])
+    p.add_argument("--out", default="compare_r2.png")
+
+    p = sub.add_parser("plot-labels", help="label distribution plot")
+    p.add_argument("--config", help="JSON config path")
+    p.add_argument("--out", default="labels.png")
+
     args = ap.parse_args(argv)
 
     if args.cmd in ("train", "test"):
@@ -134,6 +147,36 @@ def main(argv=None):
     elif args.cmd == "bench":
         import runpy
         runpy.run_module("bench", run_name="__main__")
+    elif args.cmd == "compare":
+        import os
+        from .config import FREQUENCIES
+        from .tools.plots import plot_compare_r2
+        metrics_by_freq = {}
+        for f in FREQUENCIES:
+            if not f.endswith(args.prop):
+                continue
+            path = os.path.join(args.metrics_dir,
+                                f"Predictions_Metrics_{f}.xlsx")
+            if os.path.exists(path):
+                metrics_by_freq[f] = path
+        if not metrics_by_freq:
+            print(f"no Predictions_Metrics files for {args.prop} in "
+                  f"{args.metrics_dir}")
+            return 1
+        plot_compare_r2(metrics_by_freq, args.glcm_dir, args.prop, args.out)
+        print(f"wrote {args.out}")
+    elif args.cmd == "plot-labels":
+        from .config import FREQUENCIES
+        from .data.labels import LabelTable
+        from .tools.plots import plot_label_distribution
+        cfg = load_config(args.config) if args.config else ExperimentConfig()
+        lt = LabelTable.load(cfg.data.excel_labels)
+        labels_by_freq = {}
+        for f in FREQUENCIES:
+            vals = [v for v in lt.target_values(f) if v is not None]
+            labels_by_freq[f] = vals
+        plot_label_distribution(labels_by_freq, args.out)
+        print(f"wrote {args.out}")
     return 0
 
 

@@ -69,6 +69,12 @@ def read_xlsx(path: str) -> Dict[str, List[List[Any]]]:
                 tgt = "xl/" + tgt
             rel_map[rel.get("Id")] = tgt
 
+        # precomputed qualified tags — the namespaced findall path is ~10x
+        # slower on big sheets (committed metrics files are 8k rows)
+        M = "{%s}" % _NS["m"]
+        ROW, CELL, V, IS, T = (M + "row", M + "c", M + "v", M + "is", M + "t")
+        strip_digits = re.compile(r"\d+")
+
         sheets: Dict[str, List[List[Any]]] = {}
         for sh in wb.find("m:sheets", _NS):
             name = sh.get("name")
@@ -76,40 +82,52 @@ def read_xlsx(path: str) -> Dict[str, List[List[Any]]]:
             target = rel_map[rid]
             root = ET.fromstring(zf.read(target))
             data = root.find("m:sheetData", _NS)
-            rows: List[List[Any]] = []
             max_col = 0
             parsed: List[List[tuple]] = []
-            for row in data.findall("m:row", _NS):
+            for row in data:
+                if row.tag != ROW:
+                    continue
                 cells = []
                 auto_col = 0
-                for c in row.findall("m:c", _NS):
+                for c in row:
+                    if c.tag != CELL:
+                        continue
                     ref = c.get("r")
-                    col = _col_to_index(re.sub(r"\d", "", ref)) if ref \
+                    col = _col_to_index(strip_digits.sub("", ref)) if ref \
                         else auto_col
                     auto_col = col + 1
-                    ctype = c.get("t", "n")
-                    v = c.find("m:v", _NS)
-                    if ctype == "s":
+                    ctype = c.get("t")
+                    v = None
+                    is_el = None
+                    for child in c:
+                        if child.tag == V:
+                            v = child
+                        elif child.tag == IS:
+                            is_el = child
+                    if ctype is None or ctype == "n":  # numeric (common)
+                        val = float(v.text) if v is not None and v.text \
+                            else None
+                    elif ctype == "s":
                         val = shared[int(v.text)] if v is not None else None
                     elif ctype == "inlineStr":
-                        is_el = c.find("m:is", _NS)
-                        val = "".join(t.text or "" for t in is_el.iter(
-                            "{%s}t" % _NS["m"])) if is_el is not None else None
+                        val = "".join(t.text or "" for t in
+                                      is_el.iter(T)) \
+                            if is_el is not None else None
                     elif ctype == "b":
                         val = bool(int(v.text)) if v is not None else None
                     elif ctype == "str":
                         val = v.text if v is not None else None
-                    else:  # numeric
-                        val = float(v.text) if v is not None and v.text \
-                            else None
+                    else:
+                        val = v.text if v is not None else None
                     cells.append((col, val))
-                    max_col = max(max_col, col + 1)
+                    if col >= max_col:
+                        max_col = col + 1
                 parsed.append(cells)
+            rows: List[List[Any]] = []
             for cells in parsed:
                 r = [None] * max_col
                 for col, val in cells:
-                    if col < max_col:
-                        r[col] = val
+                    r[col] = val
                 rows.append(r)
             sheets[name] = rows
         return sheets

@@ -70,6 +70,27 @@ def rotate_augment(data_dir: str, image_layers: int = 200,
     return count
 
 
+def renumber_folders(data_dir: str, dry_run: bool = True,
+                     pieces: int = 5) -> List[tuple]:
+    """Data-dir maintenance (reference: data/circle(340x345)/rename.py,
+    reoder.py — one-shot `item*` -> `trail{g}_{p:02d}` renumbering).
+    Returns the (src, dst) plan; executes it when dry_run=False."""
+    entries = sorted(d for d in os.listdir(data_dir)
+                     if os.path.isdir(os.path.join(data_dir, d))
+                     and not d.startswith("trail"))
+    plan = []
+    for i, name in enumerate(entries):
+        group = i // pieces + 1
+        piece = i % pieces + 1
+        dst = f"trail{group:01d}_{piece:02d}"
+        plan.append((name, dst))
+    if not dry_run:
+        for src, dst in plan:
+            os.rename(os.path.join(data_dir, src),
+                      os.path.join(data_dir, dst))
+    return plan
+
+
 def to_ml_excel(in_path: str, out_path: str, group_size: int = 5) -> None:
     """Test sheet keeps only the first valid piece per group ('X'
     elsewhere); train sheet masks the test rows with 'X'."""
