@@ -42,7 +42,11 @@ def test_dp_matches_single_device():
     cfg = TrainConfig(epochs=1, batch_size=32, seed=5)
 
     single = TrainLoop(TINY, cfg, impl="xla")
-    out_s = single.fit(images, proc, labels, verbose=False)
+    # host-streaming path: same batch prep + dropout-rng scheme as the
+    # sharded trainer (the device-resident path derives step rngs
+    # differently)
+    out_s = single.fit(images, proc, labels, verbose=False,
+                       device_data=False)
 
     mesh = build_mesh(MeshConfig(data=8, model=1))
     trainer = ShardedTrainer(TINY, cfg, mesh, tensor_parallel=False,
