@@ -41,11 +41,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, bk: int,
-                  scale: float):
+                  scale: float, lse_channel: int = -1):
     """One (batch-head, q-block) program.
 
     q_ref: (1, Bq, Dh), k_ref/v_ref: (1, S_pad, Dh), o_ref: (1, Bq, Dh)
-    (leading 1 = the batch-head grid block).
+    (leading 1 = the batch-head grid block).  With lse_channel >= 0 the
+    per-row logsumexp is written into that output channel (used by the
+    backward pass; the channel lives in Dh's zero padding).
     """
     q = q_ref[0].astype(jnp.float32) * scale
     bq, dh = q.shape
@@ -72,11 +74,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, bk: int,
     acc0 = jnp.zeros((bq, dh), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    out = acc / l
+    if lse_channel >= 0:
+        lse = m + jnp.log(l)  # (bq, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 1)
+        out = jnp.where(col == lse_channel, lse, out)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v):
+def _flash_fwd_impl(q, k, v, with_lse: bool = False):
+    """Blocked fwd.  with_lse=True additionally returns the per-row
+    logsumexp (B, H, T) float32, computed in the same kernel pass (stored
+    in a zero-padding channel; output dtype promoted to f32 so the lse
+    keeps full precision)."""
     b, t, h, dh = q.shape
     s = k.shape[1]
     scale = 1.0 / math.sqrt(dh)
@@ -90,7 +101,8 @@ def _flash_fwd_impl(q, k, v):
     bk = 128 if s >= 128 else _round_up(s, 8)
     t_pad = _round_up(t, bq)
     s_pad = _round_up(s, bk)
-    dh_pad = _round_up(dh, 128)
+    dh_pad = _round_up(dh + 1 if with_lse else dh, 128)
+    out_dtype = jnp.float32 if with_lse else q.dtype
 
     qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, dh_pad - dh)))
     kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, dh_pad - dh)))
@@ -98,7 +110,8 @@ def _flash_fwd_impl(q, k, v):
 
     grid = (b * h, t_pad // bq)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, s_real=s, bk=bk, scale=scale),
+        functools.partial(_flash_kernel, s_real=s, bk=bk, scale=scale,
+                          lse_channel=dh if with_lse else -1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
@@ -110,20 +123,19 @@ def _flash_fwd_impl(q, k, v):
         ],
         out_specs=pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t * s * dh,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * t * s,
         ),
         interpret=_INTERPRET,
-    )(
-        qf.reshape(b * h, t_pad, dh_pad),
-        kf.reshape(b * h, s_pad, dh_pad),
-        vf.reshape(b * h, s_pad, dh_pad),
-    )
-    out = out[:, :t, :dh].reshape(b, h, t, dh).transpose(0, 2, 1, 3)
-    return out
+    )(qf, kf, vf)
+    o = out[:, :t, :dh].reshape(b, h, t, dh).transpose(0, 2, 1, 3)
+    if not with_lse:
+        return o
+    lse = out[:, :t, dh].reshape(b, h, t)
+    return o.astype(q.dtype), lse
 
 
 def _reference_attention(q, k, v):
@@ -144,22 +156,68 @@ def flash_attention(q, k, v):
 
 
 def _fwd(q, k, v):
-    return _flash_fwd_impl(q, k, v), (q, k, v)
+    o, lse = _flash_fwd_impl(q, k, v, with_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(res, g):
-    q, k, v = res
-    dh = q.shape[-1]
+    """Blockwise backward: O(T * block) score memory instead of O(T * S).
+
+    Uses the saved logsumexp to reconstruct probabilities per KV block and
+    scans over blocks accumulating dq while emitting dk/dv shards —
+    the flash-attention backward recurrence expressed in XLA (big fused
+    matmuls per block; no (T, S) materialisation):
+        D    = rowsum(g * o)
+        p_j  = exp(q k_j^T * scale - lse)
+        dv_j = p_j^T g
+        ds_j = p_j * (g v_j^T - D)
+        dq  += ds_j k_j * scale ;  dk_j = ds_j^T q * scale
+    """
+    q, k, v, o, lse = res
+    b, t, h, dh = q.shape
+    s = k.shape[1]
     scale = 1.0 / math.sqrt(dh)
-    p, _ = _reference_attention(q, k, v)  # (B, H, T, S) float32
+    bk = min(512, _round_up(s, 128))
+    s_pad = _round_up(s, bk)
+    n_blocks = s_pad // bk
+
+    qf = q.astype(jnp.float32)
     gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dp = jnp.einsum("bthd,bshd->bhts", gf, vf)
-    dv = jnp.einsum("bhts,bthd->bshd", p, gf)
-    # softmax backward: ds = p * (dp - sum(dp * p))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhts,bshd->bthd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhts,bthd->bshd", ds, q.astype(jnp.float32)) * scale
+    kp = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, s_pad - s), (0, 0),
+                                         (0, 0)))
+    vp = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, s_pad - s), (0, 0),
+                                         (0, 0)))
+    kb = kp.reshape(b, n_blocks, bk, h, dh).transpose(1, 0, 2, 3, 4)
+    vb = vp.reshape(b, n_blocks, bk, h, dh).transpose(1, 0, 2, 3, 4)
+
+    d_rows = jnp.sum(gf * o.astype(jnp.float32), axis=-1)  # (B, T, H)
+    d_rows = d_rows.transpose(0, 2, 1)[..., None]          # (B, H, T, 1)
+    lse_e = lse[..., None]                                 # (B, H, T, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, bk), 1) \
+        + jnp.arange(n_blocks)[:, None] * bk               # global kv index
+
+    def step(dq_acc, inp):
+        k_j, v_j, col_j = inp
+        sj = jnp.einsum("bthd,bshd->bhts", qf, k_j,
+                        precision=jax.lax.Precision.HIGHEST) * scale
+        pj = jnp.exp(sj - lse_e)
+        pj = jnp.where(col_j[None, None, None, :] < s, pj, 0.0)
+        dv_j = jnp.einsum("bhts,bthd->bshd", pj, gf,
+                          precision=jax.lax.Precision.HIGHEST)
+        dp_j = jnp.einsum("bthd,bshd->bhts", gf, v_j,
+                          precision=jax.lax.Precision.HIGHEST)
+        ds_j = pj * (dp_j - d_rows)
+        dq_acc = dq_acc + jnp.einsum(
+            "bhts,bshd->bthd", ds_j, k_j,
+            precision=jax.lax.Precision.HIGHEST) * scale
+        dk_j = jnp.einsum("bhts,bthd->bshd", ds_j, qf,
+                          precision=jax.lax.Precision.HIGHEST) * scale
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((b, t, h, dh), jnp.float32)
+    dq, (dk_b, dv_b) = jax.lax.scan(step, dq0, (kb, vb, col))
+    dk = dk_b.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, h, dh)[:, :s]
+    dv = dv_b.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, h, dh)[:, :s]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
