@@ -72,6 +72,29 @@ def bench_vit_inference(batch=256, dtype=jnp.bfloat16):
     return batch / dt
 
 
+def bench_vit_with_preprocessing(batch=256, dtype=jnp.bfloat16):
+    """BASELINE.json config 2: raw uint8 RGB (345x340 melt-pool frames) ->
+    fused on-device resize/grayscale/normalize -> ViT-S/16 @224."""
+    from transformer_stm_tpu.config import VIT_PRESETS
+    from transformer_stm_tpu.data.images import preprocess_images_device
+    from transformer_stm_tpu.models import init_vit, vit_forward
+    import dataclasses
+
+    spec = dataclasses.replace(VIT_PRESETS["ViT-S/16"], num_channels=1)
+    params = init_vit(jax.random.PRNGKey(0), spec)
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    raw = jax.random.randint(jax.random.PRNGKey(1), (batch, 345, 340, 3),
+                             0, 255, jnp.uint8)
+
+    @jax.jit
+    def fn(p, x):
+        img = preprocess_images_device(x, 224, 224, dtype=dtype)
+        return vit_forward(p, spec, img, train=False)
+
+    dt = _time_fn(fn, params, raw, vary=1)
+    return batch / dt
+
+
 def bench_cvt_inference(batch=512, dtype=jnp.bfloat16):
     from transformer_stm_tpu.config import CvTSpec
     from transformer_stm_tpu.models import init_cvt, cvt_forward
@@ -137,6 +160,9 @@ def main():
     print(f"# ViT-S/16 @224 bf16 inference: {vit_ips:,.0f} img/s",
           file=sys.stderr)
     try:
+        prep_ips = bench_vit_with_preprocessing()
+        print(f"# ViT-S/16 raw-uint8->fused-preprocess->infer: "
+              f"{prep_ips:,.0f} img/s", file=sys.stderr)
         cvt_ips = bench_cvt_inference()
         print(f"# CvT-13 @128 bf16 inference: {cvt_ips:,.0f} img/s",
               file=sys.stderr)
