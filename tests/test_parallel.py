@@ -107,6 +107,24 @@ def test_sharding_rules_divisibility():
     assert m1.spec == P(None, "model")
 
 
+@needs_8
+def test_device_resident_sharded_training():
+    """Device-resident dataset + data-sharded index gather trains and the
+    loss stays finite/decreasing on the 8-device mesh."""
+    images, proc, labels = _toy(n=128, seed=9)
+    # make labels learnable
+    labels = images.astype(np.float32).mean((1, 2, 3)) / 255.0
+    cfg = TrainConfig(epochs=4, batch_size=64, learning_rate=3e-3, seed=1)
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    trainer = ShardedTrainer(TINY, cfg, mesh, tensor_parallel=False,
+                             impl="xla")
+    trainer.upload(images, proc, labels)
+    losses = [trainer.train_epoch_device(len(labels), e)["loss"]
+              for e in range(4)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_mesh_all_devices_default():
     mesh = build_mesh(MeshConfig())
     assert mesh.shape["data"] == len(jax.devices())

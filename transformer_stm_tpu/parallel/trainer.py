@@ -89,6 +89,60 @@ class ShardedTrainer:
                           batch_sharding(mesh, 4), batch_sharding(mesh, 2)),
         )
 
+    def upload(self, images, proc, labels):
+        """Device-resident dataset for the mesh: replicated across devices
+        (uint8 corpus ≈ 0.5 GB — replication avoids a cross-device gather
+        per batch; shard over 'data' instead if HBM-bound)."""
+        from ..train.loop import make_gather_train_step
+        from .sharding import batch_sharding, replicate
+
+        rep = replicate(self.mesh)
+        self._data_dev = (
+            jax.device_put(jnp.asarray(images), rep),
+            jax.device_put(jnp.asarray(proc), rep)
+            if proc is not None else None,
+            jax.device_put(jnp.asarray(np.asarray(labels, np.float32)),
+                           rep),
+        )
+        if not hasattr(self, "_gstep"):
+            self._gstep = jax.jit(
+                make_gather_train_step(self.spec, self.cfg, impl="auto"),
+                donate_argnums=(0, 1, 2))
+        return self._data_dev
+
+    def train_epoch_device(self, n: int, epoch: int):
+        """One epoch over the uploaded dataset; batch indices sharded over
+        'data' so each device gathers + computes its shard (GSPMD turns the
+        replicated-data gather into a local slice)."""
+        from ..train.optimizer import lr_at_epoch
+
+        cfg = self.cfg
+        bs = cfg.batch_size
+        lr = jnp.float32(lr_at_epoch(cfg.learning_rate, epoch,
+                                     cfg.lr_decay, cfg.lr_decay_every))
+        key = jax.random.fold_in(self.shuffle_key, epoch)
+        perm = np.asarray(jax.random.permutation(key, n))
+        steps_per_epoch = -(-n // bs)
+        acc = jnp.zeros((3,), jnp.float32)
+        for bi, s in enumerate(range(0, n, bs)):
+            idx = perm[s:s + bs]
+            real = len(idx)
+            if real < bs:
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            mask = np.zeros(bs, np.float32)
+            mask[:real] = 1.0
+            step_id = jnp.int32(epoch * steps_per_epoch + bi)
+            # idx/mask sharded over 'data' => the gather produces a
+            # data-sharded batch and the step runs data-parallel
+            data1 = batch_sharding(self.mesh, 1)
+            self.params, self.state, self.opt, acc = self._gstep(
+                self.params, self.state, self.opt, self._data_dev,
+                jax.device_put(jnp.asarray(idx), data1),
+                jax.device_put(jnp.asarray(mask), data1), acc,
+                self.dropout_key, step_id, lr)
+        se, ae, cnt = np.asarray(acc)
+        return {"loss": se / cnt, "mae": ae / cnt, "lr": float(lr)}
+
     def train_epoch(self, images, proc, labels, epoch: int):
         from ..train.optimizer import lr_at_epoch
 
