@@ -171,3 +171,37 @@ def test_gradcam_overlay_and_panel(tmp_path):
     out = str(tmp_path / "cam.png")
     save_gradcam_panel(out, img, heat, 1.23, 1.11)
     assert os.path.getsize(out) > 1000
+
+
+def test_rotate_augment(tmp_path):
+    """Offline rotation augmentation (reference: tools/Rotate.py): layer_n
+    -> layer_{n+L}/{n+2L}/{n+3L} at 90/180/270 degrees."""
+    from PIL import Image
+    from transformer_stm_tpu.tools.prep import rotate_augment
+
+    d = tmp_path / "trail1_01"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in (1, 2):
+        Image.fromarray(rng.integers(0, 255, (8, 6, 3), dtype=np.uint8)) \
+            .save(str(d / f"layer_{i:02d}.jpg"))
+    n = rotate_augment(str(tmp_path), image_layers=2)
+    assert n == 6  # 3 rotations x 2 layers
+    # 90-degree rotation of layer_01 lands at layer_03 with swapped dims
+    rot = Image.open(str(d / "layer_03.jpg"))
+    assert rot.size == (8, 6)  # PIL size is (W, H); 6x8 -> 8x6
+
+
+def test_renumber_folders(tmp_path):
+    """Data-dir maintenance (reference: data/.../rename.py, reoder.py)."""
+    from transformer_stm_tpu.tools.prep import renumber_folders
+
+    for name in ("item_a", "item_b", "item_c", "item_d", "item_e",
+                 "item_f"):
+        (tmp_path / name).mkdir()
+    plan = renumber_folders(str(tmp_path), dry_run=True)
+    assert plan[0] == ("item_a", "trail1_01")
+    assert plan[5] == ("item_f", "trail2_01")
+    renumber_folders(str(tmp_path), dry_run=False)
+    assert (tmp_path / "trail1_01").is_dir()
+    assert not (tmp_path / "item_a").exists()

@@ -9,6 +9,16 @@ over ICI — no hand-written NCCL/MPI.
   become XLA allreduces automatically under jit (GSPMD).
 - TP: attention heads and MLP hidden sharded over the 'model' axis by
   pytree-path rules — an annotation, not an algorithm.
+- SP: sequence-sharded attention (all-gather and ring variants) in
+  parallel/sequence.py for the 384/512px stretch configs.
+
+Deliberately out of scope (SURVEY.md §2.3 accounting): pipeline
+parallelism (no model here exceeds one chip's HBM — a <=3M-param CvT /
+<=87M-param ViT-B needs no stage partitioning), expert parallelism (no
+MoE anywhere in the capability set), and Ulysses-style all-to-all head
+swaps (ring/all-gather SP already covers the longest configured
+sequences).  Revisit only if the model family outgrows these bounds.
+
 Tests run on a virtual 8-device CPU mesh (tests/conftest.py).
 """
 

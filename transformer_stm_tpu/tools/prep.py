@@ -66,7 +66,7 @@ def rotate_augment(data_dir: str, image_layers: int = 200,
                 dst = os.path.join(
                     fp, f"layer_{i + k * image_layers:02d}.jpg")
                 img.rotate(angle, expand=True).save(dst)
-                count += 3
+                count += 1
     return count
 
 
