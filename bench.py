@@ -54,7 +54,7 @@ def _time_fn(fn, *args, iters=20, warmup=3, vary=None):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_vit_inference(batch=256, dtype=jnp.bfloat16):
+def bench_vit_inference(batch=192, dtype=jnp.bfloat16):
     from transformer_stm_tpu.config import VIT_PRESETS
     from transformer_stm_tpu.models import init_vit, vit_forward
 
@@ -72,7 +72,7 @@ def bench_vit_inference(batch=256, dtype=jnp.bfloat16):
     return batch / dt
 
 
-def bench_vit_with_preprocessing(batch=256, dtype=jnp.bfloat16):
+def bench_vit_with_preprocessing(batch=192, dtype=jnp.bfloat16):
     """BASELINE.json config 2: raw uint8 RGB (345x340 melt-pool frames) ->
     fused on-device resize/grayscale/normalize -> ViT-S/16 @224."""
     from transformer_stm_tpu.config import VIT_PRESETS
