@@ -20,8 +20,8 @@ import argparse
 import dataclasses
 import sys
 
-from .config import (ExperimentConfig, FREQUENCIES, TrainConfig,
-                     load_config, save_config)
+from .config import (ExperimentConfig, FREQUENCIES, load_config,
+                     save_config)
 
 
 def _build_cfg(args) -> ExperimentConfig:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 # The 20 regression targets: 5 magnetic properties x 4 excitation frequencies
 # (reference: models/CvT(Par).py:22).

@@ -17,7 +17,6 @@ import contextlib
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 
 @contextlib.contextmanager

@@ -27,7 +27,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .config import ExperimentConfig, FREQUENCIES
+from .config import ExperimentConfig
 from .data.images import load_dataset
 from .data.labels import LabelTable, ProcessTable
 from .data.split import train_val_split

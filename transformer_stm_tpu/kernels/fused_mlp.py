@@ -13,8 +13,6 @@ columns/rows are exact no-ops through matmul and gelu(0)=0).
 
 from __future__ import annotations
 
-import functools
-
 import os
 
 import jax

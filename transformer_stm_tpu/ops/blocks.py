@@ -17,7 +17,7 @@ The MLP can be routed through the fused Pallas kernel
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

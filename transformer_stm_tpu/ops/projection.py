@@ -10,8 +10,6 @@ Three methods:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from .common import (

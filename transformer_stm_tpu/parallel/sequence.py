@@ -17,8 +17,6 @@ ppermute onto ICI; no NCCL-style backend exists or is needed.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

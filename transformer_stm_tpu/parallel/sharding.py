@@ -15,8 +15,6 @@ derives every collective.  Rules for the CvT/ViT parameter layout
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
