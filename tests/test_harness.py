@@ -93,3 +93,21 @@ def test_repeat_runs_weight_suffix(tmp_path):
     (reference: models/CvT(Par)(many).py:489)."""
     cfg = _cfg(tmp_path)
     assert cfg.weight_name("50HZ_Bm", time=3).endswith("_3")
+
+
+def test_train_resumes_from_checkpoint(tmp_path):
+    """Interrupted training resumes from the latest mid-run checkpoint
+    instead of restarting (the reference loses the whole run)."""
+    import dataclasses as dc
+    from transformer_stm_tpu.harness import train_target
+
+    cfg = _cfg(tmp_path)
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, epochs=4,
+                                           checkpoint_every=2))
+    # phase 1: only 2 of 4 epochs
+    out1 = train_target(cfg, "50HZ_Bm", epochs=2, verbose=False)
+    assert len(out1["records"]) == 2
+    # phase 2: resumes at epoch 2, finishes 4
+    out2 = train_target(cfg, "50HZ_Bm", verbose=False)
+    assert len(out2["records"]) == 2  # epochs 3-4 only
+    assert out2["records"][0][0] == 3  # 1-based epoch column

@@ -86,6 +86,18 @@ def train_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
     proc = data["proc_scaled"] if cfg.inputs != "img" else None
 
     loop = TrainLoop(spec, cfg.train)
+    # resume-from-latest (SURVEY.md §5.3-5.4: the reference loses the run
+    # on any crash; here mid-run checkpoints restore params/opt/epoch)
+    from .train.checkpoint import latest_checkpoint, load_checkpoint
+    ck = latest_checkpoint(paths["weights"] + ".ckpts")
+    if ck is not None:
+        loop.params, loop.state, opt, step = load_checkpoint(
+            ck, loop.params, loop.state, loop.opt)
+        if opt is not None:
+            loop.opt = opt
+        loop.epoch = step
+        if verbose:
+            print(f"[{freq}] resuming from {ck} at epoch {step}")
     out = loop.fit(
         imgs[train_rows], proc[train_rows] if proc is not None else None,
         y[train_rows],
