@@ -95,3 +95,21 @@ def test_vit_train_with_augmentation_runs():
     trainer = ViTTrainer(TINY, cfg, augment=AugmentConfig(), impl="xla")
     m = trainer.train_epoch(images, labels)
     assert np.isfinite(m["loss"])
+
+
+def test_classify_image_single_cpu():
+    """BASELINE.json config 1: single SLS image decode -> encoder ->
+    softmax on CPU."""
+    import os
+    if not os.path.isdir("/root/reference/data"):
+        pytest.skip("reference data not mounted")
+    from transformer_stm_tpu.models.vit import classify_image
+
+    spec = ViTSpec(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                   image_size=224, num_channels=1, num_classes=10)
+    params = init_vit(jax.random.PRNGKey(0), spec)
+    path = "/root/reference/data/circle(340x345)/trail1_01/layer_01.jpg"
+    probs, top1 = classify_image(params, spec, path, impl="xla")
+    assert probs.shape == (10,)
+    assert abs(float(probs.sum()) - 1.0) < 1e-5
+    assert 0 <= top1 < 10

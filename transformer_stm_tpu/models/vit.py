@@ -95,3 +95,41 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
 
     x = layer_norm(params["head_norm"], x, eps=1e-6)
     return dense(params["head"], x[:, 0, :])
+
+
+def classify_image(params, spec: ViTSpec, path: str, *,
+                   impl: str = "auto"):
+    """Single-image end-to-end classification (BASELINE.json config 1:
+    decode -> resize/normalize -> patchify -> encoder -> softmax), runs on
+    any backend incl. CPU.
+
+    Returns (probs (num_classes,), top1 int).  Decode uses the native C++
+    loader when available, else cv2/PIL.
+    """
+    import numpy as np
+
+    size = spec.image_size
+    if spec.num_channels == 1:
+        from ..data import native
+
+        if native.available():
+            gray = native.decode_batch([path], size, size)[0]
+        else:
+            import cv2
+
+            bgr = cv2.imread(path)
+            gray = cv2.cvtColor(cv2.resize(bgr, (size, size)),
+                                cv2.COLOR_BGR2GRAY)
+        img = gray.astype(np.float32)[None, :, :, None] / 255.0
+    else:
+        import cv2
+
+        bgr = cv2.imread(path)
+        rgb = cv2.cvtColor(cv2.resize(bgr, (size, size)),
+                           cv2.COLOR_BGR2RGB)
+        img = rgb.astype(np.float32)[None] / 255.0
+
+    logits = vit_forward(params, spec, jnp.asarray(img), train=False,
+                         impl=impl)
+    probs = jax.nn.softmax(logits[0].astype(jnp.float32))
+    return np.asarray(probs), int(jnp.argmax(probs))
