@@ -76,10 +76,11 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
     v5e: 12-layer ViT-S attention 23ms XLA vs 98ms kernel at 197 tokens).
     """
     if impl == "auto":
-        # >= so the CvT's 1,024-token stage 1 takes the kernel: measured
-        # there at 10x over XLA for fwd+bwd (12.6ms vs 122.6ms,
-        # B=128 H=1 Dh=64 bf16)
-        long_seq = q.shape[1] * k.shape[1] >= 1024 * 1024
+        # Strict >: the CvT's 1,024-token stage 1 stays on XLA — full
+        # epoch timing showed XLA ~15% faster there (6.3 vs 7.4 s/epoch);
+        # the kernel's clean win starts at genuinely long sequences
+        # (4,096 tokens: 31x inference, plus O(seq) bwd memory).
+        long_seq = q.shape[1] * k.shape[1] > 1024 * 1024
         impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) \
             else "xla"
     if impl == "pallas":
