@@ -116,6 +116,36 @@ def make_gather_train_step(spec: CvTSpec, cfg: TrainConfig,
     return step
 
 
+def make_epoch_scan(spec: CvTSpec, cfg: TrainConfig,
+                    impl: str = "auto") -> Callable:
+    """Whole-epoch training as ONE compiled XLA program: lax.scan over the
+    epoch's batch indices with the gather step as body.  On the tunnelled
+    device this removes every per-step dispatch (~2.7 ms x 233 steps for
+    the flagship target); numerics identical to the per-step gather path
+    (same index order, same fold_in(step_id) dropout keys).
+
+    epoch(params, state, opt, data, idx (S, B), mask (S, B),
+          step_ids (S,), rng_base, lr) -> (params, state, opt, acc)
+    """
+    step = make_gather_train_step(spec, cfg, impl=impl)
+
+    def epoch(params, state, opt, data, idx, mask, step_ids, rng_base, lr):
+        acc0 = jnp.zeros((3,), jnp.float32)
+
+        def body(carry, xs):
+            params, state, opt, acc = carry
+            i, m, sid = xs
+            params, state, opt, acc = step(
+                params, state, opt, data, i, m, acc, rng_base, sid, lr)
+            return (params, state, opt, acc), None
+
+        (params, state, opt, acc), _ = jax.lax.scan(
+            body, (params, state, opt, acc0), (idx, mask, step_ids))
+        return params, state, opt, acc
+
+    return epoch
+
+
 def make_eval_step(spec: CvTSpec, cfg: TrainConfig,
                    impl: str = "auto") -> Callable:
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
@@ -170,6 +200,19 @@ class TrainLoop:
 
         self._gather_eval = jax.jit(gather_eval)
 
+        def val_metrics(params, state, data, labels, idx, mask):
+            """(sum_se, sum_ae, n) for one val batch — stays on device."""
+            pred = gather_eval(params, state, data, idx)
+            y = labels[idx]
+            d = pred - y
+            return jnp.stack([jnp.sum(jnp.square(d) * mask),
+                              jnp.sum(jnp.abs(d) * mask),
+                              jnp.sum(mask)])
+
+        self._val_metrics = jax.jit(val_metrics)
+        self._epoch_scan = jax.jit(make_epoch_scan(spec, cfg, impl=impl),
+                                   donate_argnums=(0, 1, 2))
+
     # -- data feeding ------------------------------------------------------
 
     def _batches(self, n: int, epoch: int):
@@ -222,7 +265,8 @@ class TrainLoop:
             if val is not None:
                 vi, vp, vl = val
                 val_dev = (jnp.asarray(vi),
-                           jnp.asarray(vp) if vp is not None else None)
+                           jnp.asarray(vp) if vp is not None else None,
+                           jnp.asarray(np.asarray(vl, np.float32)))
 
         for epoch in range(self.epoch, epochs):
             lr = lr_at_epoch(cfg.learning_rate, epoch, cfg.lr_decay,
@@ -230,15 +274,17 @@ class TrainLoop:
             t0 = time.time()
             if device_data:
                 steps_per_epoch = -(-n // cfg.batch_size)
-                acc = jnp.zeros((3,), jnp.float32)
                 lr_dev = jnp.float32(lr)
-                for bi, (idx, mask) in enumerate(self._batches(n, epoch)):
-                    step_id = jnp.int32(epoch * steps_per_epoch + bi)
-                    self.params, self.state, self.opt, acc = \
-                        self._gather_step(
-                            self.params, self.state, self.opt, data_dev,
-                            jnp.asarray(idx), jnp.asarray(mask), acc,
-                            self.dropout_key, step_id, lr_dev)
+                idxs, masks = zip(*self._batches(n, epoch))
+                idx_m = jnp.asarray(np.stack(idxs))
+                mask_m = jnp.asarray(np.stack(masks))
+                step_ids = jnp.arange(
+                    epoch * steps_per_epoch,
+                    epoch * steps_per_epoch + len(idxs), dtype=jnp.int32)
+                # one compiled XLA program per epoch (lax.scan over steps)
+                self.params, self.state, self.opt, acc = self._epoch_scan(
+                    self.params, self.state, self.opt, data_dev,
+                    idx_m, mask_m, step_ids, self.dropout_key, lr_dev)
                 tot_se, tot_ae, tot_n = np.asarray(acc)
             else:
                 tot_se = tot_ae = tot_n = 0.0
@@ -262,12 +308,13 @@ class TrainLoop:
             if val is not None:
                 vi, vp, vl = val
                 if device_data:
-                    pred = self._predict_dev(val_dev, len(vl))
+                    val_loss, val_mae = self._val_metrics_device(
+                        val_dev, vl)
                 else:
                     pred = self.predict(vi, vp)
-                vl = np.asarray(vl, np.float64).ravel()
-                val_loss = float(np.mean((pred - vl) ** 2))
-                val_mae = float(np.mean(np.abs(pred - vl)))
+                    vl = np.asarray(vl, np.float64).ravel()
+                    val_loss = float(np.mean((pred - vl) ** 2))
+                    val_mae = float(np.mean(np.abs(pred - vl)))
 
             records.log(epoch, loss, mae_v, val_loss, val_mae, lr)
             if verbose:
@@ -288,6 +335,27 @@ class TrainLoop:
 
         return {"params": self.params, "state": self.state,
                 "opt": self.opt, "records": records}
+
+    def _val_metrics_device(self, val_dev, vl):
+        """Per-epoch validation metrics with device-side accumulation —
+        one scalar fetch per epoch instead of one prediction fetch per
+        batch."""
+        vi_dev, vp_dev, vl_dev = val_dev
+        n = len(vl)
+        bs = self.cfg.batch_size
+        acc = jnp.zeros((3,), jnp.float32)
+        for s in range(0, n, bs):
+            idx = np.arange(s, min(s + bs, n))
+            real = len(idx)
+            if real < bs:
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            mask = np.zeros(bs, np.float32)
+            mask[:real] = 1.0
+            acc = acc + self._val_metrics(
+                self.params, self.state, (vi_dev, vp_dev), vl_dev,
+                jnp.asarray(idx), jnp.asarray(mask))
+        se, ae, cnt = np.asarray(acc)
+        return float(se / cnt), float(ae / cnt)
 
     def _predict_dev(self, data_dev, n: int):
         """Batched inference over device-resident data."""
