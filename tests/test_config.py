@@ -18,14 +18,15 @@ def test_frequencies_match_reference():
 
 
 def test_weight_name_convention():
-    """cvt_model_weights_{freq}_{proj}_cls{bool}[_{time}]
-    (reference: models/CvT(Par).py:489, CvT(Par)(many).py:489)."""
+    """cvt_model_weights_{freq}[_{time}]_{proj}_cls{bool} — the "(many)"
+    run index goes right after the target (reference:
+    models/CvT(Par).py:489, CvT(Par)(many).py:489)."""
     cfg = ExperimentConfig()
     assert cfg.weight_name("50HZ_Bm") == \
         "cvt_model_weights_50HZ_Bm_dw_bn_clsTrue"
     cfg2 = dataclasses.replace(cfg, projection_method="avg", cls_token=False)
     assert cfg2.weight_name("800HZ_Pcv", time=2) == \
-        "cvt_model_weights_800HZ_Pcv_avg_clsFalse_2"
+        "cvt_model_weights_800HZ_Pcv_2_avg_clsFalse"
     cfg3 = dataclasses.replace(cfg, inputs="par")
     assert cfg3.weight_name("50HZ_Hc") == "Vit_model_weights_50HZ_Hc"
 

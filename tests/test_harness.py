@@ -89,10 +89,10 @@ def test_img_only_cycle(tmp_path):
 
 
 def test_repeat_runs_weight_suffix(tmp_path):
-    """'(many)' mode appends the run index to the weight name
+    """'(many)' mode inserts the run index right after the target
     (reference: models/CvT(Par)(many).py:489)."""
     cfg = _cfg(tmp_path)
-    assert cfg.weight_name("50HZ_Bm", time=3).endswith("_3")
+    assert "_50HZ_Bm_3_" in cfg.weight_name("50HZ_Bm", time=3)
 
 
 def test_train_resumes_from_checkpoint(tmp_path):

@@ -198,11 +198,15 @@ class ExperimentConfig:
         """Checkpoint naming convention = config encoding (reference:
         models/CvT(Par).py:489, CvT(Par)(many).py:489,
         FFN(OnlyPar).py weight name)."""
+        # "(many)" repeat runs insert the run index right after the target,
+        # matching the reference convention
+        # cvt_model_weights_{freq}_{time}_{proj}_cls{bool}.h5
+        # (models/CvT(Par)(many).py:489).
         suffix = f"_{time}" if time is not None else ""
         if self.inputs == "par":
             return f"Vit_model_weights_{freq}{suffix}"
-        return (f"cvt_model_weights_{freq}_{self.projection_method}"
-                f"_cls{self.cls_token}{suffix}")
+        return (f"cvt_model_weights_{freq}{suffix}_{self.projection_method}"
+                f"_cls{self.cls_token}")
 
 
 def _to_jsonable(obj: Any) -> Any:

@@ -27,15 +27,32 @@ _LIB = os.path.join(os.path.dirname(__file__), "..", "native",
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_hash(src: str) -> str:
+    import hashlib
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build(force: bool = False) -> str:
-    """Compile the shared library (idempotent)."""
+    """Compile the shared library from source (idempotent).
+
+    The .so is never committed; a fresh checkout always builds from the
+    reviewed preprocess.cpp.  Rebuild freshness is keyed on a content hash
+    of the source (recorded in a .stamp sidecar at build time), not on
+    mtimes — mtimes are unreliable after clone/checkout."""
     src = os.path.abspath(_SRC)
     lib = os.path.abspath(_LIB)
-    if force or not os.path.exists(lib) or \
-            os.path.getmtime(lib) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-               "-fPIC", src, "-o", lib, "-ljpeg", "-lpthread"]
-        subprocess.run(cmd, check=True, capture_output=True)
+    stamp = lib + ".stamp"
+    h = _src_hash(src)
+    if not force and os.path.exists(lib) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == h:
+                return lib
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+           "-fPIC", src, "-o", lib, "-ljpeg", "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    with open(stamp, "w") as f:
+        f.write(h)
     return lib
 
 

@@ -136,16 +136,18 @@ def _train_ffn(cfg, freq, proc, y, train_rows, val_rows, paths, epochs,
     yv = np.asarray(y[val_rows])
 
     @jax.jit
-    def step(params, opt, idx, lr):
+    def step(params, opt, idx, mask, lr):
         def loss_fn(p):
             pred = ffn_forward(p, xs[idx]).reshape(-1)
             yy = ys[idx]
-            return jnp.mean(jnp.square(pred - yy)), \
-                jnp.mean(jnp.abs(pred - yy))
-        (loss, mae_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            k = jnp.maximum(jnp.sum(mask), 1.0)
+            se = jnp.sum(jnp.square(pred - yy) * mask)
+            ae = jnp.sum(jnp.abs(pred - yy) * mask)
+            return se / k, (se, ae)
+        (_, (se, ae)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
         params, opt = adam_update(grads, opt, params, lr)
-        return params, opt, loss, mae_v
+        return params, opt, se, ae
 
     @jax.jit
     def predict(params, x):
@@ -159,18 +161,27 @@ def _train_ffn(cfg, freq, proc, y, train_rows, val_rows, paths, epochs,
                          tc.lr_decay_every)
         perm = np.asarray(jax.random.permutation(
             jax.random.fold_in(key, epoch + 1), n))
-        losses, maes = [], []
-        for s in range(0, n - tc.batch_size + 1, tc.batch_size):
-            idx = jnp.asarray(perm[s:s + tc.batch_size])
-            params, opt, loss, mae_v = step(params, opt, idx,
-                                            jnp.float32(lr))
-            losses.append(float(loss))
-            maes.append(float(mae_v))
+        # include the trailing partial batch (pad + mask, like
+        # TrainLoop._batches) — the reference's model.fit trains on it too —
+        # and accumulate sample-weighted epoch loss/MAE, not a mean of
+        # per-batch means.
+        tot_se = tot_ae = 0.0
+        for s in range(0, n, tc.batch_size):
+            idx = perm[s:s + tc.batch_size]
+            real = len(idx)
+            if real < tc.batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros(tc.batch_size - real, np.int64)])
+            mask = np.zeros(tc.batch_size, np.float32)
+            mask[:real] = 1.0
+            params, opt, se, ae = step(params, opt, jnp.asarray(idx),
+                                       jnp.asarray(mask), jnp.float32(lr))
+            tot_se += float(se)
+            tot_ae += float(ae)
         pred_v = np.asarray(predict(params, xv))
         val_loss = float(np.mean((pred_v - yv) ** 2))
         val_mae = float(np.mean(np.abs(pred_v - yv)))
-        records.log(epoch, float(np.mean(losses)), float(np.mean(maes)),
-                    val_loss, val_mae, lr)
+        records.log(epoch, tot_se / n, tot_ae / n, val_loss, val_mae, lr)
         if verbose and (epoch + 1) % 50 == 0:
             print(f"[{freq}] epoch {epoch + 1}/{epochs} "
                   f"val_loss {val_loss:.4f}")

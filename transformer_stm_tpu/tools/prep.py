@@ -39,9 +39,8 @@ def pick_up_data(in_path: str, out_path: str, group_size: int = 5) -> int:
                     r.append(None)
                 r[ci] = v_new
     # reference blanks cell A1 (tools/PickUpData.py:61-62)
-    out_rows = [[None if i == 0 else c for i, c in enumerate(cols)]] + rows
-    out_rows[0][0] = None
     header = list(cols)
+    header[0] = None
     write_xlsx(out_path, {"Sheet1": [header] + rows})
     return dropped
 

@@ -68,13 +68,19 @@ def make_train_step(spec: CvTSpec, cfg: TrainConfig,
             loss_fn, has_aux=True)(params, state, images, proc, labels,
                                    mask, rng)
         if axis_name is not None:
+            # psum the *sums* (se/ae/n) so per-shard partial batches report
+            # global metrics, then derive global means — a plain pmean of
+            # loss/mae would mis-weight shards with masked rows.
             grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
-            mae_v = jax.lax.pmean(mae_v, axis_name)
+            se = jax.lax.psum(se, axis_name)
+            ae = jax.lax.psum(ae, axis_name)
+            mask = jax.lax.psum(jnp.sum(mask), axis_name)
+            loss = se / jnp.maximum(mask, 1.0)
+            mae_v = ae / jnp.maximum(mask, 1.0)
         params, opt = adam_update(grads, opt, params, lr,
                                   weight_decay=cfg.weight_decay)
         metrics = {"loss": loss, "mae": mae_v, "se": se, "ae": ae,
-                   "n": jnp.sum(mask)}
+                   "n": jnp.sum(mask) if axis_name is None else mask}
         return params, state_merge(state, new_state), opt, metrics
 
     return step
@@ -217,7 +223,15 @@ class TrainLoop:
 
     def _batches(self, n: int, epoch: int):
         """Shuffled batch index arrays; the final partial batch is padded
-        (pad rows masked out in loss/metrics)."""
+        (pad rows masked out in loss/metrics).
+
+        Known, deliberate deviation from Keras: the pad rows (duplicates of
+        train row 0) still enter the dw_bn BatchNorm *batch statistics* of
+        that one final batch per epoch, whereas Keras runs the last batch at
+        its true size.  Loss/metrics/gradients mask the pads exactly; only
+        the BN normalisation of the ≤127 real rows in the final batch (and
+        the running stats) sees them — a static-shape trade XLA needs to
+        avoid a per-epoch recompile."""
         bs = self.cfg.batch_size
         key = jax.random.fold_in(self.shuffle_key, epoch)
         perm = np.asarray(jax.random.permutation(key, n))
