@@ -1,0 +1,66 @@
+"""Train ALL 20 frequency targets simultaneously on one chip with the
+multi-target vmapped trainer (train/multi.py), at the reference's full
+protocol (Adam 1e-3, MSE, batch 128, lr x0.8@50, 1000 epochs —
+models/CvT(Par).py:464-476), then evaluate each target and write the full
+Predictions_Metrics table.
+
+Resume-safe: periodic stacked checkpoints; rerun after a tunnel stall and
+it continues from the last checkpoint.
+
+Usage: python scripts/train_all.py [epochs] [epochs_per_call] [targets...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from transformer_stm_tpu.config import ExperimentConfig, TrainConfig
+
+ALL_TARGETS = [f"{f}HZ_{p}" for f in (50, 200, 400, 800)
+               for p in ("Bm", "Hc", "μa", "Br", "Pcv")]
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    epc = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    targets = sys.argv[3:] if len(sys.argv) > 3 else ALL_TARGETS
+
+    cfg = ExperimentConfig(
+        inputs="img+par",
+        frequencies=tuple(targets),
+        train=TrainConfig(epochs=epochs, batch_size=128,
+                          compute_dtype="bfloat16"),
+        result_dir="Result",
+    )
+
+    from transformer_stm_tpu.train.multi import MultiTargetTrainer
+    t0 = time.time()
+    tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
+                            epochs_per_call=epc)
+    ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
+                         "multi_run.ckpts")
+    if tr.load(ckdir):
+        print(f"resumed from {ckdir} at epoch {tr.epoch}", flush=True)
+    print(f"targets={len(targets)} steps/epoch={tr.steps_per_epoch} "
+          f"rows_max={tr.rows_max}", flush=True)
+    tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=50,
+           verbose=True)
+    print(f"training done in {(time.time() - t0) / 60:.1f} min", flush=True)
+    tr.export(verbose=True)
+
+    # evaluate every target through the standard harness
+    from transformer_stm_tpu.harness import test_target
+    results = {}
+    for f in targets:
+        res = test_target(cfg, f, verbose=True)
+        results[f] = {"r2": res["r2"], "mse": res["mse"], "mae": res["mae"]}
+    with open("Result/multi_run_summary.json", "w") as fh:
+        json.dump({"epochs": epochs, "results": results}, fh, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,438 @@
+"""Multi-target vmapped trainer: train the whole 20-model family at once.
+
+The reference trains its 20 frequency targets *serially* — one
+``model.fit`` per target, re-decoding the 40k-image corpus each time
+(models/CvT(Par).py:498-504).  Each model is tiny (~2.8 M params), so a
+single TPU chip is badly underutilised at batch 128.  The TPU-native
+answer is to make the target axis a *vmapped batch axis*:
+
+- one shared uint8 image corpus lives in HBM (~0.5 GB);
+- per-target params / BatchNorm state / Adam state are stacked along a
+  leading T axis and the whole train step is ``jax.vmap``-ed over it;
+- per-epoch shuffling happens **on device** (argsort of per-target
+  uniforms), so an epoch is ONE dispatch with ~24 scalar fetches — the
+  tunnelled device's 2.7 ms/dispatch and ~10 MB/s fetch path never see
+  per-step traffic;
+- targets have different train-set sizes (27.8k–30.2k rows depending on
+  the NaN outliers, BASELINE.md); every target is padded to the same
+  step count and *fully-masked steps are gated to bit-exact no-ops*
+  (params, Adam moments and step counter, and BatchNorm state all keep
+  their old values), so per-target numerics match a solo run of the same
+  protocol.
+
+This is also how the "(many)" repeat-run study (models/CvT(Par)(many).py
+:501-505) runs: 8 repeats of one target = 8 vmapped "targets" with
+different init seeds, trained in one program.
+
+Protocol per target is the reference's exactly (Adam 1e-3, MSE, batch
+128, lr x0.8 every 50 epochs, dropout 0.1, per-epoch validation —
+models/CvT(Par).py:464-476).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CvTSpec, ExperimentConfig, TrainConfig
+from ..models.cvt import cvt_forward, init_cvt
+from .optimizer import adam_init, adam_update, lr_at_epoch
+
+
+def _tree_where(pred_t, new, old):
+    """Per-target select over pytrees whose leaves carry a leading T axis:
+    leaf[t] = new[t] if pred_t[t] else old[t]."""
+    def sel(n, o):
+        p = pred_t.reshape((pred_t.shape[0],) + (1,) * (n.ndim - 1))
+        return jnp.where(p, n, o)
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
+                     rows_max: int, n_val_steps: int, impl: str = "auto",
+                     epochs_per_call: int = 1):
+    """Builds the one-dispatch multi-target epoch program.
+
+    Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
+               n_train, val_rows, n_val, epoch0, shuffle_keys, dropout_keys)
+      -> (params, state, opt, train_acc (E,T,3), val_acc (E,T,3))
+    where corpus is (N, H, W, 1) uint8 (N = n_specimens * layers),
+    y_spec (T, n_specimens) f32, proc_spec (T, n_specimens, P) f32,
+    train_rows (T, rows_max) int32 corpus-row indices (pads arbitrary),
+    val_rows (T, n_val_steps * B) int32, n_train/n_val (T,) int32.
+    Accs are [sum_se, sum_ae, n] per epoch per target.
+    """
+    B = cfg.batch_size
+    L = None  # layers per specimen inferred from corpus/y_spec shapes at call
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+
+    def one_step(p, st, o, imgs, proc, yy, mask, rng, lr):
+        """Single-target train step on a gathered batch (imgs f32 0..1)."""
+        def loss_fn(pp, sst):
+            out, new_state = cvt_forward(
+                pp, sst, spec, imgs.astype(compute_dtype),
+                proc.astype(compute_dtype) if proc is not None else None,
+                train=True, rng=rng, impl=impl)
+            pred = out.reshape(-1).astype(jnp.float32)
+            k = jnp.maximum(jnp.sum(mask), 1.0)
+            se = jnp.sum(jnp.square(pred - yy) * mask)
+            ae = jnp.sum(jnp.abs(pred - yy) * mask)
+            return se / k, (new_state, se, ae)
+        (_, (new_state, se, ae)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, st)
+        p2, o2 = adam_update(grads, o, p, lr,
+                             weight_decay=cfg.weight_decay)
+        return p2, new_state, o2, se, ae
+
+    def one_eval(p, st, imgs, proc, yy, mask):
+        out, _ = cvt_forward(
+            p, st, spec, imgs.astype(compute_dtype),
+            proc.astype(compute_dtype) if proc is not None else None,
+            train=False, impl=impl)
+        pred = out.reshape(-1).astype(jnp.float32)
+        d = pred - yy
+        return jnp.stack([jnp.sum(jnp.square(d) * mask),
+                          jnp.sum(jnp.abs(d) * mask), jnp.sum(mask)])
+
+    def epoch_fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
+                 n_train, val_rows, n_val, epoch0, shuffle_keys,
+                 dropout_keys):
+        T = y_spec.shape[0]
+        layers = corpus.shape[0] // y_spec.shape[1]
+        has_proc = proc_spec is not None
+
+        def gather(rows):
+            """corpus rows (B,) -> (imgs f32, spec_idx) ."""
+            imgs = corpus[rows].astype(jnp.float32) / 255.0
+            return imgs, rows // layers
+
+        def run_epoch(carry, epoch):
+            params, state, opt = carry
+            lr = jnp.float32(cfg.learning_rate) * jnp.power(
+                jnp.float32(cfg.lr_decay),
+                jnp.floor(epoch.astype(jnp.float32) /
+                          cfg.lr_decay_every))
+
+            # --- on-device per-target shuffle: real rows first, pads last
+            def perm_one(key, rows, n):
+                r = jax.random.uniform(jax.random.fold_in(key, epoch),
+                                       (rows_max,))
+                r = jnp.where(jnp.arange(rows_max) < n, r, 2.0)
+                return rows[jnp.argsort(r)]
+            perms = jax.vmap(perm_one)(shuffle_keys, train_rows, n_train)
+            pad = steps_per_epoch * B - rows_max
+            if pad:
+                perms = jnp.concatenate(
+                    [perms, jnp.tile(perms[:, :1], (1, pad))], axis=1)
+            idx = perms.reshape(T, steps_per_epoch, B)
+            flat_pos = jnp.arange(steps_per_epoch * B)
+            mask_all = (flat_pos[None, :] < n_train[:, None]).astype(
+                jnp.float32).reshape(T, steps_per_epoch, B)
+
+            def train_body(carry, s):
+                params, state, opt, acc = carry
+
+                def per_target(p, st, o, rows, m, y_s, pr_s, dkey):
+                    imgs, sidx = gather(rows)
+                    yy = y_s[sidx]
+                    proc = pr_s[sidx] if has_proc else None
+                    rng = jax.random.fold_in(
+                        jax.random.fold_in(dkey, epoch), s)
+                    return one_step(p, st, o, imgs, proc, yy, m, rng, lr)
+
+                p2, st2, o2, se, ae = jax.vmap(per_target)(
+                    params, state, opt, idx[:, s], mask_all[:, s],
+                    y_spec, proc_spec if has_proc else y_spec,
+                    dropout_keys)
+                nreal = jnp.sum(mask_all[:, s], axis=1)
+                live = nreal > 0
+                # fully-masked steps are bit-exact no-ops for this target
+                params = _tree_where(live, p2, params)
+                state = _tree_where(live, st2, state)
+                opt = _tree_where(live, o2, opt)
+                acc = acc + jnp.stack(
+                    [jnp.where(live, se, 0.0), jnp.where(live, ae, 0.0),
+                     nreal], axis=1)
+                return (params, state, opt, acc), None
+
+            (params, state, opt, tr_acc), _ = jax.lax.scan(
+                train_body, (params, state, opt,
+                             jnp.zeros((T, 3), jnp.float32)),
+                jnp.arange(steps_per_epoch))
+
+            # --- per-epoch validation (reference: validation_data in fit)
+            vidx = val_rows.reshape(T, n_val_steps, B)
+            vpos = jnp.arange(n_val_steps * B)
+            vmask = (vpos[None, :] < n_val[:, None]).astype(
+                jnp.float32).reshape(T, n_val_steps, B)
+
+            def val_body(acc, s):
+                def per_target(p, st, rows, m, y_s, pr_s):
+                    imgs, sidx = gather(rows)
+                    proc = pr_s[sidx] if has_proc else None
+                    return one_eval(p, st, imgs, proc, y_s[sidx], m)
+                acc = acc + jax.vmap(per_target)(
+                    params, state, vidx[:, s], vmask[:, s], y_spec,
+                    proc_spec if has_proc else y_spec)
+                return acc, None
+
+            va_acc, _ = jax.lax.scan(
+                val_body, jnp.zeros((T, 3), jnp.float32),
+                jnp.arange(n_val_steps))
+            return (params, state, opt), (tr_acc, va_acc)
+
+        (params, state, opt), (tr, va) = jax.lax.scan(
+            run_epoch, (params, state, opt),
+            epoch0 + jnp.arange(epochs_per_call))
+        return params, state, opt, tr, va
+
+    return epoch_fn
+
+
+class MultiTargetTrainer:
+    """Orchestrates the vmapped all-targets training run.
+
+    targets: list of (freq, seed, time_suffix) — repeated freqs with
+    different seeds give the "(many)" variance mode.
+    """
+
+    def __init__(self, cfg: ExperimentConfig,
+                 targets: Sequence[Tuple[str, int, Optional[int]]],
+                 impl: str = "auto", epochs_per_call: int = 1,
+                 corpus: Optional[np.ndarray] = None,
+                 extra_steps: int = 0):
+        from ..data.images import decode_corpus
+        from ..data.labels import (LabelTable, ProcessTable,
+                                   build_target_arrays)
+        from ..data.split import train_val_split
+        from ..harness import _spec_for
+
+        self.cfg = cfg
+        self.targets = list(targets)
+        self.spec = _spec_for(cfg)
+        self.impl = impl
+        tc = cfg.train
+        L = cfg.data.image_layers
+        labels = LabelTable.load(cfg.data.excel_labels)
+        procs = ProcessTable.load(cfg.data.excel_process)
+
+        if corpus is None:
+            corpus = np.asarray(decode_corpus(cfg.data))
+        n_spec = corpus.shape[0]
+        self.corpus_np = corpus.reshape(n_spec * L, corpus.shape[2],
+                                        corpus.shape[3], 1)
+
+        y_spec, proc_spec, tr_rows, va_rows, n_tr, n_va = [], [], [], [], [], []
+        self.per_target = []
+        for freq, seed, tsuf in self.targets:
+            t = build_target_arrays(cfg.data, freq, labels, procs)
+            valid = np.asarray(t["valid_indices"], np.int64)
+            train_r, val_r = train_val_split(valid, t["count"], L)
+            # map per-target replicated-row indices -> corpus rows
+            to_corpus = lambda r: valid[r // L] * L + (r % L)
+            tr_rows.append(to_corpus(np.asarray(train_r)))
+            va_rows.append(to_corpus(np.asarray(val_r)))
+            n_tr.append(len(train_r))
+            n_va.append(len(val_r))
+            ys = np.zeros((n_spec,), np.float32)
+            ys[valid] = np.asarray(t["labels"], np.float32)[::L][:len(valid)]
+            ps = np.zeros((n_spec, t["proc_scaled"].shape[1]), np.float32)
+            ps[valid] = np.asarray(t["proc_scaled"],
+                                   np.float32)[::L][:len(valid)]
+            y_spec.append(ys)
+            proc_spec.append(ps)
+            self.per_target.append({"freq": freq, "seed": seed,
+                                    "time": tsuf, "n_train": len(train_r),
+                                    "n_val": len(val_r)})
+
+        B = tc.batch_size
+        self.rows_max = max(n_tr)
+        # extra_steps appends fully-masked (gated no-op) steps — used by
+        # tests to prove the gating is bit-exact.
+        self.steps_per_epoch = -(-self.rows_max // B) + extra_steps
+        self.n_val_steps = -(-max(n_va) // B)
+        self.y_spec = np.stack(y_spec)
+        self.proc_spec = (np.stack(proc_spec)
+                          if cfg.inputs != "img" else None)
+        self.n_train = np.asarray(n_tr, np.int32)
+        self.n_val = np.asarray(n_va, np.int32)
+
+        def pad_rows(rows_list, width):
+            out = np.zeros((len(rows_list), width), np.int32)
+            for i, r in enumerate(rows_list):
+                out[i, :len(r)] = r
+                if len(r) < width:   # pads replicate the first row
+                    out[i, len(r):] = r[0] if len(r) else 0
+            return out
+
+        self.train_rows = pad_rows(tr_rows, self.rows_max)
+        self.val_rows = pad_rows(va_rows, self.n_val_steps * B)
+
+        # stacked per-target params / state / opt (vmapped init)
+        def init_one(seed):
+            key = jax.random.PRNGKey(int(seed))
+            init_key, shuffle_key, dropout_key = jax.random.split(key, 3)
+            p, s = init_cvt(init_key, self.spec)
+            return p, s, shuffle_key, dropout_key
+
+        ps, ss, sk, dk = [], [], [], []
+        for _, seed, _ in self.targets:
+            p, s, k1, k2 = init_one(seed)
+            ps.append(p)
+            ss.append(s)
+            sk.append(k1)
+            dk.append(k2)
+        stack = lambda trees: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *trees)
+        self.params = stack(ps)
+        self.state = stack(ss)
+        self.opt = jax.vmap(adam_init)(self.params)
+        self.shuffle_keys = jnp.stack(sk)
+        self.dropout_keys = jnp.stack(dk)
+        self.epoch = 0
+        self.records = [[] for _ in self.targets]
+
+        self.epochs_per_call = epochs_per_call
+        self._fn = jax.jit(
+            make_multi_epoch(self.spec, tc,
+                             steps_per_epoch=self.steps_per_epoch,
+                             rows_max=self.rows_max,
+                             n_val_steps=self.n_val_steps, impl=impl,
+                             epochs_per_call=epochs_per_call),
+            donate_argnums=(0, 1, 2))
+        self._dev = None
+
+    # -- device data -------------------------------------------------------
+
+    def _upload(self):
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.corpus_np), jnp.asarray(self.y_spec),
+                (jnp.asarray(self.proc_spec)
+                 if self.proc_spec is not None else None),
+                jnp.asarray(self.train_rows), jnp.asarray(self.n_train),
+                jnp.asarray(self.val_rows), jnp.asarray(self.n_val))
+        return self._dev
+
+    # -- checkpointing (stacked, resume-safe) ------------------------------
+
+    def save(self, path: str):
+        from .checkpoint import save_checkpoint
+        save_checkpoint(path, jax.device_get(self.params),
+                        jax.device_get(self.state),
+                        jax.device_get(self.opt), step=self.epoch,
+                        metadata={"targets": [t[0] for t in self.targets],
+                                  "records": self.records})
+
+    def load(self, path: str) -> bool:
+        from .checkpoint import latest_checkpoint, load_checkpoint
+        ck = latest_checkpoint(path)
+        if ck is None:
+            return False
+        self.params, self.state, opt, step = load_checkpoint(
+            ck, self.params, self.state, self.opt)
+        if opt is not None:
+            self.opt = opt
+        self.epoch = step
+        import json
+        meta_p = ck[:-4] + ".json"
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if "records" in meta:
+                self.records = meta["records"]
+        return True
+
+    def target_params(self, i: int):
+        """Unstacked (params, state, opt) for target i — for per-target
+        checkpoints in the reference's artifact layout."""
+        take = lambda tree: jax.tree_util.tree_map(lambda x: x[i], tree)
+        return (jax.device_get(take(self.params)),
+                jax.device_get(take(self.state)),
+                jax.device_get(take(self.opt)))
+
+    # -- main loop ---------------------------------------------------------
+
+    def fit(self, epochs: int, checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 100, verbose: bool = True,
+            log_every: int = 1):
+        corpus, y, proc, tr, ntr, va, nva = self._upload()
+        E = self.epochs_per_call
+        while self.epoch < epochs:
+            n_now = min(E, epochs - self.epoch)
+            t0 = time.time()
+            # constant epochs_per_call keeps one compiled program; trailing
+            # remainder (< E epochs) triggers one extra compile at most once
+            if n_now != E:
+                fn = jax.jit(make_multi_epoch(
+                    self.spec, self.cfg.train,
+                    steps_per_epoch=self.steps_per_epoch,
+                    rows_max=self.rows_max, n_val_steps=self.n_val_steps,
+                    impl=self.impl, epochs_per_call=n_now),
+                    donate_argnums=(0, 1, 2))
+            else:
+                fn = self._fn
+            self.params, self.state, self.opt, tr_acc, va_acc = fn(
+                self.params, self.state, self.opt, corpus, y, proc, tr,
+                ntr, va, nva, jnp.int32(self.epoch), self.shuffle_keys,
+                self.dropout_keys)
+            tr_acc = np.asarray(tr_acc)   # (E, T, 3) — forces sync
+            va_acc = np.asarray(va_acc)
+            dt = time.time() - t0
+            for e in range(n_now):
+                ep = self.epoch + e
+                lr = lr_at_epoch(self.cfg.train.learning_rate, ep,
+                                 self.cfg.train.lr_decay,
+                                 self.cfg.train.lr_decay_every)
+                for ti in range(len(self.targets)):
+                    se, ae, n = tr_acc[e, ti]
+                    vse, vae, vn = va_acc[e, ti]
+                    self.records[ti].append(
+                        [ep, float(se / n), float(ae / n),
+                         float(vse / vn), float(vae / vn), lr])
+            self.epoch += n_now
+            if verbose:
+                mean_vl = float(np.mean(va_acc[-1, :, 0] / va_acc[-1, :, 2]))
+                print(f"epoch {self.epoch}/{epochs} "
+                      f"({dt / n_now:.1f}s/epoch, T={len(self.targets)}) "
+                      f"mean val_loss {mean_vl:.4f}", flush=True)
+            if checkpoint_dir and (self.epoch % checkpoint_every == 0
+                                   or self.epoch >= epochs):
+                t1 = time.time()
+                self.save(checkpoint_dir)
+                if verbose:
+                    print(f"  checkpoint @ {self.epoch} "
+                          f"({time.time() - t1:.0f}s)", flush=True)
+        return self
+
+    # -- artifact export ---------------------------------------------------
+
+    def export(self, verbose: bool = True):
+        """Write per-target weights + records in the reference layout, so
+        harness.test_target evaluates them unchanged."""
+        from .checkpoint import save_checkpoint
+        from .metrics import RecordsWriter
+        from ..harness import _paths
+        outs = {}
+        for i, (freq, seed, tsuf) in enumerate(self.targets):
+            paths = _paths(self.cfg, freq, tsuf)
+            p, s, o = self.target_params(i)
+            save_checkpoint(paths["weights"], p, s, o, step=self.epoch,
+                            metadata={"freq": freq, "seed": seed,
+                                      "config": self.cfg.inputs})
+            rec = RecordsWriter()
+            for row in self.records[i]:
+                rec.log(int(row[0]), row[1], row[2], row[3], row[4], row[5])
+            rec.write(paths["records"])
+            outs[(freq, tsuf)] = paths
+            if verbose:
+                print(f"exported {freq}"
+                      + (f" (run {tsuf})" if tsuf else ""), flush=True)
+        return outs
