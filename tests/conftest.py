@@ -12,6 +12,10 @@ if "host_platform_device_count" not in flags:
 # Keep TF quiet and CPU-only for the parity tests.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+# Parity tests run against legacy Keras 2 (tf_keras) — the API generation
+# the reference was written for; Keras 3 rejects its tf.shape-on-
+# KerasTensor idioms (tests/test_reference_parity.py).
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
 import jax  # noqa: E402
 

@@ -116,3 +116,43 @@ def test_mlp_op_pallas_impl_consistent():
     got = mlp(params, x, train=False, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bwd_pallas_matches_xla_scan():
+    """The fully-blocked Pallas backward (dq + dkv kernel pair) must match
+    the einsum-scan backward it replaced, at production-ish shapes
+    (CvT stage 1: 1,024 tokens; stage 3: 65 tokens + cls)."""
+    from transformer_stm_tpu.kernels.flash_attention import (
+        _bwd_pallas, _bwd_xla, _flash_fwd_impl)
+
+    for (b, t, h, dh) in [(2, 256, 1, 64), (1, 65, 4, 64)]:
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(t), 4)
+        q = jax.random.normal(kq, (b, t, h, dh), jnp.float32)
+        k = jax.random.normal(kk, (b, t, h, dh), jnp.float32)
+        v = jax.random.normal(kv, (b, t, h, dh), jnp.float32)
+        g = jax.random.normal(kg, (b, t, h, dh), jnp.float32)
+        o, lse = _flash_fwd_impl(q, k, v, with_lse=True)
+        res = (q, k, v, o, lse)
+        for a, b_ in zip(_bwd_pallas(res, g), _bwd_xla(res, g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
+
+
+def test_flash_attention_grad_under_vmap():
+    """The multi-target trainer takes grads through a vmapped flash
+    attention (per-target params stacked); the batching rule must keep
+    per-slot numerics identical to the unbatched call."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (3, 2, 40, 2, 16), jnp.float32)
+    k = jax.random.normal(kk, (3, 2, 40, 2, 16), jnp.float32)
+    v = jax.random.normal(kv, (3, 2, 40, 2, 16), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v)))
+
+    gv = jax.vmap(jax.grad(f, argnums=(0, 1, 2)))(q, k, v)
+    for i in range(3):
+        gs = jax.grad(f, argnums=(0, 1, 2))(q[i], k[i], v[i])
+        for a, b in zip(gv, gs):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

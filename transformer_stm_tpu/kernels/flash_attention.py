@@ -11,10 +11,11 @@ batch-head through VMEM in Bk-sized blocks with a running (max, denom)
 rescale.  Head dims are zero-padded to the 128-lane boundary (zero feature
 columns do not change q.k dot products); padded KV rows are masked to -inf.
 
-Backward pass: custom_vjp with an einsum-based recompute (exact same math);
-a fully-blocked Pallas backward is a planned optimisation — at the
-reference's sequence lengths (<= 1,024 tokens, SURVEY.md §2.3) the recompute
-already fits comfortably in HBM.
+Backward pass: custom_vjp with a fully-blocked Pallas kernel pair (dq and
+dk/dv), FlashAttention-2 style — probabilities are rebuilt per block from
+the forward's saved logsumexp, so the backward's score blocks also live
+only in VMEM.  An einsum-scan fallback (`TSTM_FLASH_BWD=xla`) is kept for
+A/B comparison.
 """
 
 from __future__ import annotations
@@ -160,7 +161,192 @@ def _fwd(q, k, v):
     return o, (q, k, v, o, lse)
 
 
-def _bwd(res, g):
+def _flash_bwd_dq_kernel(q_ref, g_ref, aux_ref, k_ref, v_ref, dq_ref, *,
+                         s_real: int, bk: int, scale: float, c_lse: int,
+                         c_delta: int):
+    """dq for one (batch-head, q-block): streams K/V blocks through VMEM,
+    rebuilding p from the saved logsumexp — no (T, S) score HBM traffic.
+
+        p   = exp(q k^T * scale - lse)
+        ds  = p * (g v^T - delta),  delta = rowsum(g * o)
+        dq += ds k * scale
+    """
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    aux = aux_ref[0]
+    bq, dh = q.shape
+    ch = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 1)
+    lse = jnp.sum(jnp.where(ch == c_lse, aux, 0.0), axis=1, keepdims=True)
+    delta = jnp.sum(jnp.where(ch == c_delta, aux, 0.0), axis=1,
+                    keepdims=True)
+    s_pad = k_ref.shape[1]
+
+    def body(i, dq_acc):
+        k_blk = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + i * bk
+        p = jnp.where(col < s_real, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(g, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq_acc + jnp.dot(ds, k_blk,
+                                preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, s_pad // bk, body,
+                           jnp.zeros((bq, dh), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, g_ref, aux_ref, k_ref, v_ref, dk_ref,
+                          dv_ref, *, bq: int, scale: float, c_lse: int,
+                          c_delta: int):
+    """dk/dv for one (batch-head, kv-block): streams Q/G blocks.
+
+        dv += p^T g ;  dk += ds^T q * scale
+    Padded q rows need no masking: their q/g/aux rows are zero, so
+    p = exp(0-0) = 1 multiplies zero g/delta contributions.
+    """
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bk, dh = k.shape
+    t_pad = q_ref.shape[1]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_i = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        g_i = g_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        aux_i = aux_ref[0, pl.ds(i * bq, bq), :]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 1)
+        lse = jnp.sum(jnp.where(ch == c_lse, aux_i, 0.0), axis=1,
+                      keepdims=True)
+        delta = jnp.sum(jnp.where(ch == c_delta, aux_i, 0.0), axis=1,
+                        keepdims=True)
+        s = jnp.dot(q_i, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dv_acc = dv_acc + jnp.dot(p.T, g_i,
+                                  preferred_element_type=jnp.float32)
+        dp = jnp.dot(g_i, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jnp.dot(
+            ds.T, q_i, preferred_element_type=jnp.float32) * scale
+        return dk_acc, dv_acc
+
+    dk, dv = jax.lax.fori_loop(
+        0, t_pad // bq, body,
+        (jnp.zeros((bk, dh), jnp.float32), jnp.zeros((bk, dh),
+                                                     jnp.float32)))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_pallas(res, g):
+    """Fully-blocked Pallas backward (dq kernel + dkv kernel pair).
+
+    The logsumexp (saved by the forward) and delta = rowsum(g * o) ride in
+    two zero-padding channels of a single f32 aux array, so each kernel
+    reads one aligned (block, 128-lane) ref instead of awkward (T,)
+    vectors.  Score blocks live only in VMEM — HBM sees O(T) not O(T*S).
+    """
+    q, k, v, o, lse = res
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    bq = 128 if t >= 128 else _round_up(t, 8)
+    bk = 128 if s >= 128 else _round_up(s, 8)
+    t_pad = _round_up(t, bq)
+    s_pad = _round_up(s, bk)
+    dh_pad = _round_up(dh + 2, 128)
+    c_lse, c_delta = dh, dh + 1
+
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], dh)
+    qf = jnp.pad(fold(q), ((0, 0), (0, t_pad - t), (0, dh_pad - dh)))
+    kf = jnp.pad(fold(k), ((0, 0), (0, s_pad - s), (0, dh_pad - dh)))
+    vf = jnp.pad(fold(v), ((0, 0), (0, s_pad - s), (0, dh_pad - dh)))
+    gf = jnp.pad(fold(g), ((0, 0), (0, t_pad - t), (0, dh_pad - dh)))
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                                   # (B, T, H)
+    delta = delta.transpose(0, 2, 1).reshape(b * h, t)         # (BH, T)
+    lse_f = lse.reshape(b * h, t)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dh_pad), 2)
+    aux = jnp.where(ch == c_lse, jnp.pad(lse_f, ((0, 0), (0, t_pad - t)))
+                    [..., None], 0.0) + \
+        jnp.where(ch == c_delta, jnp.pad(delta, ((0, 0), (0, t_pad - t)))
+                  [..., None], 0.0)
+    aux = aux.astype(jnp.float32)
+
+    common = dict(interpret=_INTERPRET)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, s_real=s, bk=bk,
+                          scale=scale, c_lse=c_lse, c_delta=c_delta),
+        grid=(b * h, t_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * t * s * dh,
+            bytes_accessed=(qf.size + gf.size + aux.size + kf.size
+                            + vf.size) * 2,
+            transcendentals=b * h * t * s,
+        ),
+        **common,
+    )(qf, gf, aux, kf, vf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, bq=bq, scale=scale,
+                          c_lse=c_lse, c_delta=c_delta),
+        grid=(b * h, s_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dh_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s_pad, dh_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_pad, dh_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * t * s * dh,
+            bytes_accessed=(qf.size + gf.size + aux.size + kf.size
+                            + vf.size) * 2,
+            transcendentals=b * h * t * s,
+        ),
+        **common,
+    )(qf, gf, aux, kf, vf)
+
+    unfold = lambda x, n: x[:, :n, :dh].reshape(b, h, n, dh).transpose(
+        0, 2, 1, 3)
+    return (unfold(dq, t).astype(q.dtype), unfold(dk, s).astype(k.dtype),
+            unfold(dv, s).astype(v.dtype))
+
+
+def _bwd_xla(res, g):
     """Blockwise backward: O(T * block) score memory instead of O(T * S).
 
     Uses the saved logsumexp to reconstruct probabilities per KV block and
@@ -219,6 +405,15 @@ def _bwd(res, g):
     dk = dk_b.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, h, dh)[:, :s]
     dv = dv_b.transpose(1, 0, 2, 3, 4).reshape(b, s_pad, h, dh)[:, :s]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _bwd(res, g):
+    """Backward dispatch: the fully-blocked Pallas kernel pair by default;
+    TSTM_FLASH_BWD=xla selects the einsum-scan fallback (kept for
+    A/B numerics and perf comparison)."""
+    if os.environ.get("TSTM_FLASH_BWD", "pallas") == "xla":
+        return _bwd_xla(res, g)
+    return _bwd_pallas(res, g)
 
 
 flash_attention.defvjp(_fwd, _bwd)

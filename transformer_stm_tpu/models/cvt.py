@@ -69,11 +69,17 @@ def init_cvt(key, spec: CvTSpec, dtype=jnp.float32):
 
 def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
                 train: bool = False, rng=None, impl: str = "auto",
-                axis_name=None, return_features: bool = False):
+                axis_name=None, return_features: bool = False,
+                remat: bool = False):
     """images: (B, H, W, C) float; proc: (B, proc_dim) or None.
 
     Returns (output (B, num_classes), new_state); with return_features=True
     also returns the stage feature maps (for Grad-CAM, tools/grad_cam.py).
+
+    remat=True wraps each transformer block in jax.checkpoint so the
+    backward pass recomputes block activations instead of stashing them —
+    the HBM trade that lets the multi-target trainer fit 20 models'
+    training state on one chip (train/multi.py).
     """
     x = images
     cls_tokens = None
@@ -89,13 +95,18 @@ def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
         x = conv_embed(sp["embed"], x, stride=st.stride)
         bstates = []
         for d in range(st.depth):
-            x, cls, bs = conv_transformer_block(
-                sp["blocks"][d], ss["blocks"][d], x,
-                num_heads=st.num_heads, kernel_size=st.kernel_size,
-                strides=st.strides, qkv_method=st.qkv_method,
-                with_cls_token=st.with_cls_token,
-                dropout_rate=st.dropout_rate, train=train, rng=rngs[bi],
-                impl=impl, axis_name=axis_name)
+            def block_fn(bp, bs_in, x_in, block_rng, _st=st):
+                return conv_transformer_block(
+                    bp, bs_in, x_in,
+                    num_heads=_st.num_heads, kernel_size=_st.kernel_size,
+                    strides=_st.strides, qkv_method=_st.qkv_method,
+                    with_cls_token=_st.with_cls_token,
+                    dropout_rate=_st.dropout_rate, train=train,
+                    rng=block_rng, impl=impl, axis_name=axis_name)
+            if remat:
+                block_fn = jax.checkpoint(block_fn)
+            x, cls, bs = block_fn(sp["blocks"][d], ss["blocks"][d], x,
+                                  rngs[bi])
             if cls is not None:
                 cls_tokens = cls
             bstates.append(bs)

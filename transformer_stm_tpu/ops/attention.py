@@ -76,16 +76,27 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
     v5e: 12-layer ViT-S attention 23ms XLA vs 98ms kernel at 197 tokens).
     """
     if impl == "auto":
-        # Strict >: the CvT's 1,024-token stage 1 stays on XLA — full
-        # epoch timing showed XLA ~15% faster there (6.3 vs 7.4 s/epoch);
-        # the kernel's clean win starts at genuinely long sequences
-        # (4,096 tokens: 31x inference, plus O(seq) bwd memory).
+        # Two reasons to take the kernel:
+        # - long sequences (strict >: the CvT's 1,024-token stage 1 stays
+        #   on XLA — full epoch timing showed XLA ~15% faster there (6.3
+        #   vs 7.4 s/epoch); the kernel's clean win starts at genuinely
+        #   long sequences — 4,096 tokens: 31x inference, O(seq) bwd);
+        # - HBM pressure: XLA materialises the f32 (B, H, T, S) scores;
+        #   past ~1 GB (e.g. the multi-target trainer's 20x128 batch at
+        #   1,024 tokens = 10.7 GB) that buffer alone ooms the chip, so
+        #   route to the kernel regardless of sequence length.
         long_seq = q.shape[1] * k.shape[1] > 1024 * 1024
-        impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) \
-            else "xla"
-    if impl == "pallas":
+        h = q.shape[2]
+        score_bytes = 4 * h * q.shape[1] * k.shape[1] * q.shape[0]
+        big_scores = score_bytes > (1 << 30)
+        impl = "pallas" if (jax.default_backend() == "tpu"
+                            and (long_seq or big_scores)) else "xla"
+    if impl in ("pallas", "flash"):
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
+    if impl != "xla":
+        raise ValueError(f"unknown attention impl {impl!r} "
+                         "(want 'auto' | 'xla' | 'pallas' | 'flash')")
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
     prec = matmul_precision(q.dtype)

@@ -8,10 +8,25 @@ framework: given such a file and the CvTSpec it encodes, produce
 (params, state) for models/cvt.cvt_forward — enabling the logits-parity
 check against actually-trained reference weights.
 
-Robust to naming drift: weights are located per layer group by
-(substring-pattern, shape) rather than a fixed flat order.  Handles both
-the legacy Keras-2 layout (layer groups with 'weight_names' attrs) and
-Keras-3 '.weights.h5' files.
+Validated against a *genuine* file produced by importing the reference's
+own models/CvT(Par).py (create_cvt_model + save_weights under legacy
+Keras 2 — tests/test_reference_parity.py), whose layout is:
+
+  stage{i}_ConvEmbed/stage{i}_ConvEmbed/conv2d_N/{kernel,bias}:0
+  stage{i}_transformer/dense_N/...                      <- MLP fc1/fc2
+  stage{i}_transformer/stage{i}_transformer/conv_attention_N/
+      dense_M/...            <- proj_q, proj_k, proj_v, out (creation order)
+      {q,k,v}_proj/depthwise_conv2d_N/depthwise_kernel:0
+      {q,k,v}_proj/batch_normalization_N/{gamma,beta,moving_*}:0
+      multi_head_attention_N/{query,key,value,attention_output}/...
+  stage{i}_transformer/stage{i}_transformer/layer_normalization_N/...
+  stage3_transformer/cls_token:0
+  layer_normalization_N/... (head), Proc_Dense_{1,2}/, Final_Dense/
+
+Matching strategy: locate each *kernel* by (substring patterns, shape,
+Keras natural-name creation order), then take its bias from the SAME h5
+group (sibling lookup) — independent bias-by-shape searches can collide
+(e.g. stage-3 MLP fc2 bias (256,) vs the attention denses' (256,)).
 """
 
 from __future__ import annotations
@@ -45,12 +60,12 @@ def _natural_key(name: str):
             for t in re.split(r"(\d+)", name)]
 
 
-def _find(arrays: Dict[str, np.ndarray], *, contains: List[str],
-          shape: Tuple[int, ...], used: set,
-          not_contains: Optional[List[str]] = None) -> np.ndarray:
-    """First unused dataset (natural path order = Keras creation order)
-    whose path contains every pattern (case insensitive) and matches the
-    shape."""
+def _find_name(arrays: Dict[str, np.ndarray], *, contains: List[str],
+               shape: Tuple[int, ...], used: set,
+               not_contains: Optional[List[str]] = None) -> str:
+    """Name of the first unused dataset (natural path order = Keras
+    creation order) containing every pattern (case-insensitive) with the
+    given shape."""
     for name in sorted(arrays, key=_natural_key):
         if name in used:
             continue
@@ -59,10 +74,40 @@ def _find(arrays: Dict[str, np.ndarray], *, contains: List[str],
                 not any(p.lower() in low for p in (not_contains or [])) and \
                 arrays[name].shape == tuple(shape):
             used.add(name)
-            return arrays[name]
+            return name
     raise KeyError(
         f"no dataset matching {contains} shape {shape} "
-        f"(available: {[ (n, arrays[n].shape) for n in sorted(arrays) if n not in used ][:8]}...)")
+        f"(available: {[(n, arrays[n].shape) for n in sorted(arrays) if n not in used][:8]}...)")
+
+
+def _find(arrays, **kw) -> np.ndarray:
+    return arrays[_find_name(arrays, **kw)]
+
+
+def _sibling(arrays: Dict[str, np.ndarray], kernel_name: str, leaf: str,
+             used: set) -> np.ndarray:
+    """Dataset named `leaf` in the same h5 group as kernel_name."""
+    group = kernel_name.rsplit("/", 1)[0]
+    for cand in (f"{group}/{leaf}:0", f"{group}/{leaf}"):
+        if cand in arrays:
+            used.add(cand)
+            return arrays[cand]
+    raise KeyError(f"no sibling '{leaf}' next to {kernel_name}")
+
+
+def _dense(arrays, *, contains, shape, used, not_contains=None):
+    """{'kernel','bias'} with the bias taken from the kernel's group."""
+    kname = _find_name(arrays, contains=contains, shape=shape, used=used,
+                       not_contains=not_contains)
+    return {"kernel": arrays[kname],
+            "bias": _sibling(arrays, kname, "bias", used)}
+
+
+def _norm(arrays, *, contains, shape, used, not_contains=None):
+    gname = _find_name(arrays, contains=contains + ["gamma"], shape=shape,
+                       used=used, not_contains=not_contains)
+    return gname, {"gamma": arrays[gname],
+                   "beta": _sibling(arrays, gname, "beta", used)}
 
 
 def import_cvt_h5(path: str, spec: CvTSpec):
@@ -76,13 +121,10 @@ def import_cvt_h5(path: str, spec: CvTSpec):
     in_ch = spec.num_channels
     for i, st in enumerate(spec.stages, start=1):
         g = f"stage{i}_ConvEmbed"
-        embed = {"proj": {
-            "kernel": _find(arrays, contains=[g, "kernel"],
-                            shape=(st.patch_size, st.patch_size, in_ch,
-                                   st.embed_dim), used=used),
-            "bias": _find(arrays, contains=[g, "bias"],
-                          shape=(st.embed_dim,), used=used),
-        }}
+        embed = {"proj": _dense(
+            arrays, contains=[g, "kernel"],
+            shape=(st.patch_size, st.patch_size, in_ch, st.embed_dim),
+            used=used)}
         t = f"stage{i}_transformer"
         d = st.embed_dim
 
@@ -90,16 +132,12 @@ def import_cvt_h5(path: str, spec: CvTSpec):
             if st.qkv_method != "dw_bn" or \
                     (tag == "q" and st.qkv_method == "avg"):
                 return {}, {}
-            p = {"conv": {"kernel": _find(
-                     arrays, contains=[t, f"{tag}_proj", "kernel"],
-                     shape=(st.kernel_size, st.kernel_size, d, 1),
-                     used=used)},
-                 "bn": {"gamma": _find(arrays,
-                                       contains=[t, f"{tag}_proj", "gamma"],
-                                       shape=(d,), used=used),
-                        "beta": _find(arrays,
-                                      contains=[t, f"{tag}_proj", "beta"],
-                                      shape=(d,), used=used)}}
+            kname = _find_name(
+                arrays, contains=[t, f"{tag}_proj", "kernel"],
+                shape=(st.kernel_size, st.kernel_size, d, 1), used=used)
+            _, bn = _norm(arrays, contains=[t, f"{tag}_proj"], shape=(d,),
+                          used=used)
+            p = {"conv": {"kernel": arrays[kname]}, "bn": bn}
             s = {"bn": {"mean": _find(arrays,
                                       contains=[t, f"{tag}_proj", "mean"],
                                       shape=(d,), used=used),
@@ -114,46 +152,43 @@ def import_cvt_h5(path: str, spec: CvTSpec):
         h = st.num_heads
         dh = d // h
 
-        def dense_p(din=d, dout=d):
-            """Keras auto-names the block's Dense layers (dense, dense_1,
-            ...); creation order within the group (proj_q, proj_k, proj_v,
-            proj, then the MLP pair) plus shapes disambiguate."""
-            return {"kernel": _find(arrays, contains=[t, "kernel"],
-                                    not_contains=["attention", "conv"],
-                                    shape=(din, dout), used=used),
-                    "bias": _find(arrays, contains=[t, "bias"],
-                                  not_contains=["attention"],
-                                  shape=(dout,), used=used)}
+        def attn_dense():
+            """The block's auto-named (d, d) Dense layers — Keras creation
+            order (proj_q, proj_k, proj_v, then the output proj) is the
+            natural sort order of the dense/dense_N auto-names."""
+            return _dense(arrays, contains=[t, "dense", "kernel"],
+                          not_contains=["multi_head"], shape=(d, d),
+                          used=used)
+
+        proj_q, proj_k, proj_v, proj_out = (attn_dense() for _ in range(4))
 
         mha = {}
         for key in ("query", "key", "value"):
-            mha[key] = {"kernel": _find(arrays, contains=[t, key, "kernel"],
-                                        not_contains=["output"],
-                                        shape=(d, h, dh), used=used),
-                        "bias": _find(arrays, contains=[t, key, "bias"],
-                                      not_contains=["output"],
-                                      shape=(h, dh), used=used)}
-        mha["out"] = {
-            "kernel": _find(arrays, contains=[t, "kernel"],
-                            shape=(h, dh, d), used=used),
-            "bias": _find(arrays, contains=[t, "attention", "bias"],
-                          shape=(d,), used=used)}
+            kname = _find_name(arrays, contains=[t, key, "kernel"],
+                               not_contains=["output"], shape=(d, h, dh),
+                               used=used)
+            mha[key] = {"kernel": arrays[kname],
+                        "bias": _sibling(arrays, kname, "bias", used)}
+        oname = _find_name(arrays, contains=[t, "attention_output",
+                                             "kernel"],
+                           shape=(h, dh, d), used=used)
+        mha["out"] = {"kernel": arrays[oname],
+                      "bias": _sibling(arrays, oname, "bias", used)}
 
+        _, norm1 = _norm(arrays, contains=[t, "layer_normalization"],
+                         shape=(d,), used=used)
         block = {
-            "norm1": {"gamma": _find(arrays,
-                                     contains=[t, "normalization", "gamma"],
-                                     shape=(d,), used=used),
-                      "beta": _find(arrays,
-                                    contains=[t, "normalization", "beta"],
-                                    shape=(d,), used=used)},
+            "norm1": norm1,
             "attn": {"q_proj": qp, "k_proj": kp, "v_proj": vp,
-                     "proj_q": dense_p(),
-                     "proj_k": dense_p(),
-                     "proj_v": dense_p(),
+                     "proj_q": proj_q,
+                     "proj_k": proj_k,
+                     "proj_v": proj_v,
                      "mha": mha,
-                     "proj": dense_p()},
-            "mlp": {"fc1": dense_p(din=d, dout=d * st.mlp_ratio),
-                    "fc2": dense_p(din=d * st.mlp_ratio, dout=d)},
+                     "proj": proj_out},
+            "mlp": {"fc1": _dense(arrays, contains=[t, "dense", "kernel"],
+                                  shape=(d, d * st.mlp_ratio), used=used),
+                    "fc2": _dense(arrays, contains=[t, "dense", "kernel"],
+                                  shape=(d * st.mlp_ratio, d), used=used)},
         }
         if st.with_cls_token:
             cls = _find(arrays, contains=[t, "cls"],
@@ -165,32 +200,21 @@ def import_cvt_h5(path: str, spec: CvTSpec):
         in_ch = st.embed_dim
 
     last = spec.stages[-1].embed_dim
-    params["head_norm"] = {
-        "gamma": _find(arrays, contains=["norm", "gamma"], shape=(last,),
-                       used=used),
-        "beta": _find(arrays, contains=["norm", "beta"], shape=(last,),
-                      used=used)}
+    _, params["head_norm"] = _norm(
+        arrays, contains=["layer_normalization"], not_contains=["stage"],
+        shape=(last,), used=used)
     if spec.proc_dim > 0:
-        params["proc_fc1"] = {
-            "kernel": _find(arrays, contains=["Proc_Dense_1", "kernel"],
-                            shape=(spec.proc_dim, spec.proc_hidden),
-                            used=used),
-            "bias": _find(arrays, contains=["Proc_Dense_1", "bias"],
-                          shape=(spec.proc_hidden,), used=used)}
-        params["proc_fc2"] = {
-            "kernel": _find(arrays, contains=["Proc_Dense_2", "kernel"],
-                            shape=(spec.proc_hidden, spec.proc_hidden),
-                            used=used),
-            "bias": _find(arrays, contains=["Proc_Dense_2", "bias"],
-                          shape=(spec.proc_hidden,), used=used)}
+        params["proc_fc1"] = _dense(
+            arrays, contains=["Proc_Dense_1", "kernel"],
+            shape=(spec.proc_dim, spec.proc_hidden), used=used)
+        params["proc_fc2"] = _dense(
+            arrays, contains=["Proc_Dense_2", "kernel"],
+            shape=(spec.proc_hidden, spec.proc_hidden), used=used)
         feat = last + spec.proc_hidden
     else:
         feat = last
-    params["final"] = {
-        "kernel": _find(arrays, contains=["Final_Dense", "kernel"],
-                        shape=(feat, spec.num_classes), used=used),
-        "bias": _find(arrays, contains=["Final_Dense", "bias"],
-                      shape=(spec.num_classes,), used=used)}
+    params["final"] = _dense(arrays, contains=["Final_Dense", "kernel"],
+                             shape=(feat, spec.num_classes), used=used)
 
     import jax
     to_jnp = lambda x: jnp.asarray(x)

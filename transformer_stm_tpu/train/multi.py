@@ -56,7 +56,7 @@ def _tree_where(pred_t, new, old):
 
 def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                      rows_max: int, n_val_steps: int, impl: str = "auto",
-                     epochs_per_call: int = 1):
+                     epochs_per_call: int = 1, remat: bool = True):
     """Builds the one-dispatch multi-target epoch program.
 
     Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
@@ -79,7 +79,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
             out, new_state = cvt_forward(
                 pp, sst, spec, imgs.astype(compute_dtype),
                 proc.astype(compute_dtype) if proc is not None else None,
-                train=True, rng=rng, impl=impl)
+                train=True, rng=rng, impl=impl, remat=remat)
             pred = out.reshape(-1).astype(jnp.float32)
             k = jnp.maximum(jnp.sum(mask), 1.0)
             se = jnp.sum(jnp.square(pred - yy) * mask)
@@ -207,7 +207,7 @@ class MultiTargetTrainer:
                  targets: Sequence[Tuple[str, int, Optional[int]]],
                  impl: str = "auto", epochs_per_call: int = 1,
                  corpus: Optional[np.ndarray] = None,
-                 extra_steps: int = 0):
+                 extra_steps: int = 0, remat: bool = True):
         from ..data.images import decode_corpus
         from ..data.labels import (LabelTable, ProcessTable,
                                    build_target_arrays)
@@ -300,12 +300,13 @@ class MultiTargetTrainer:
         self.records = [[] for _ in self.targets]
 
         self.epochs_per_call = epochs_per_call
+        self.remat = remat
         self._fn = jax.jit(
             make_multi_epoch(self.spec, tc,
                              steps_per_epoch=self.steps_per_epoch,
                              rows_max=self.rows_max,
                              n_val_steps=self.n_val_steps, impl=impl,
-                             epochs_per_call=epochs_per_call),
+                             epochs_per_call=epochs_per_call, remat=remat),
             donate_argnums=(0, 1, 2))
         self._dev = None
 
@@ -375,7 +376,8 @@ class MultiTargetTrainer:
                     self.spec, self.cfg.train,
                     steps_per_epoch=self.steps_per_epoch,
                     rows_max=self.rows_max, n_val_steps=self.n_val_steps,
-                    impl=self.impl, epochs_per_call=n_now),
+                    impl=self.impl, epochs_per_call=n_now,
+                    remat=self.remat),
                     donate_argnums=(0, 1, 2))
             else:
                 fn = self._fn
