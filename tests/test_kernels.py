@@ -156,3 +156,73 @@ def test_flash_attention_grad_under_vmap():
         for a, b in zip(gv, gs):
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mlp_train_grads_no_dropout():
+    """rate=0: the fused train kernel's custom_vjp must match jax.grad of
+    the plain Dense->GELU->Dense to float tolerance."""
+    from transformer_stm_tpu.kernels.fused_mlp import (
+        _gelu_exact, make_fused_mlp_train)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 40, 32)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((32, 128)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((128, 32)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((32,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 40, 32)), jnp.float32)
+    seed = jnp.zeros((2,), jnp.int32)
+
+    f = make_fused_mlp_train(0.0)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(f(x, w1, b1, w2, b2, seed) * g)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        h = _gelu_exact(x @ w1 + b1)
+        return jnp.sum((h @ w2 + b2) * g)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_fused_mlp_train_grads_with_dropout_fallback():
+    """rate>0 (CPU fallback path): the hand-derived backward must equal
+    jax.grad of the identical masked forward — validates the gradient
+    formulas the TPU kernel implements with in-kernel masks."""
+    from transformer_stm_tpu.kernels.fused_mlp import (
+        _fallback_masks, _gelu_exact, make_fused_mlp_train)
+
+    rate = 0.3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((30, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((16, 64)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((64, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((16,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((30, 16)), jnp.float32)
+    seed = jnp.asarray([7, 9], jnp.int32)
+
+    f = make_fused_mlp_train(rate, interpret=True)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(f(x, w1, b1, w2, b2, seed) * g)
+
+    m1, m2 = _fallback_masks(seed, (30, 64), (30, 16), rate)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        h = _gelu_exact(x @ w1 + b1) * m1
+        return jnp.sum(((h @ w2 + b2) * m2) * g)
+
+    # same masks -> same forward
+    np.testing.assert_allclose(
+        float(loss_fused(x, w1, b1, w2, b2)),
+        float(loss_ref(x, w1, b1, w2, b2)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)

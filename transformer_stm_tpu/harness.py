@@ -135,56 +135,73 @@ def _train_ffn(cfg, freq, proc, y, train_rows, val_rows, paths, epochs,
     xv = jnp.asarray(proc[val_rows])
     yv = np.asarray(y[val_rows])
 
-    @jax.jit
-    def step(params, opt, idx, mask, lr):
-        def loss_fn(p):
-            pred = ffn_forward(p, xs[idx]).reshape(-1)
-            yy = ys[idx]
-            k = jnp.maximum(jnp.sum(mask), 1.0)
-            se = jnp.sum(jnp.square(pred - yy) * mask)
-            ae = jnp.sum(jnp.abs(pred - yy) * mask)
-            return se / k, (se, ae)
-        (_, (se, ae)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        params, opt = adam_update(grads, opt, params, lr)
-        return params, opt, se, ae
-
-    @jax.jit
-    def predict(params, x):
-        return ffn_forward(params, x).reshape(-1)
-
-    records = RecordsWriter()
     n = len(train_rows)
+    bs = tc.batch_size
+    steps = -(-n // bs)
     epochs = epochs if epochs is not None else tc.epochs
+
+    # the whole training runs as ONE compiled scan-of-scans (epochs x
+    # steps) — the per-step Python dispatch loop took minutes per target
+    # on a 1-core host; this takes seconds.  Numerics per step unchanged:
+    # trailing partial batch padded + masked (the reference's model.fit
+    # trains on it too), sample-weighted epoch loss/MAE, per-epoch
+    # validation on the held-out split.
+    @jax.jit
+    def train_all(params, opt):
+        def epoch_body(carry, epoch):
+            params, opt = carry
+            lr = jnp.float32(tc.learning_rate) * jnp.power(
+                jnp.float32(tc.lr_decay),
+                jnp.floor(epoch.astype(jnp.float32) / tc.lr_decay_every))
+            r = jax.random.uniform(jax.random.fold_in(key, epoch + 1),
+                                   (steps * bs,))
+            r = jnp.where(jnp.arange(steps * bs) < n, r, 2.0)
+            perm = jnp.argsort(r) % n  # pads resolve to row 0, masked out
+            idx = perm.reshape(steps, bs)
+            mask = (jnp.arange(steps * bs) < n).astype(
+                jnp.float32).reshape(steps, bs)
+
+            def step_body(carry, sb):
+                params, opt, acc = carry
+                i, m = sb
+
+                def loss_fn(p):
+                    pred = ffn_forward(p, xs[i]).reshape(-1)
+                    yy = ys[i]
+                    k2 = jnp.maximum(jnp.sum(m), 1.0)
+                    se = jnp.sum(jnp.square(pred - yy) * m)
+                    ae = jnp.sum(jnp.abs(pred - yy) * m)
+                    return se / k2, (se, ae)
+
+                (_, (se, ae)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt = adam_update(grads, opt, params, lr)
+                return (params, opt, acc + jnp.stack([se, ae])), None
+
+            (params, opt, acc), _ = jax.lax.scan(
+                step_body, (params, opt, jnp.zeros((2,), jnp.float32)),
+                (idx, mask))
+            pred_v = ffn_forward(params, xv).reshape(-1)
+            val_se = jnp.mean(jnp.square(pred_v - yv_dev))
+            val_ae = jnp.mean(jnp.abs(pred_v - yv_dev))
+            return (params, opt), jnp.stack(
+                [acc[0] / n, acc[1] / n, val_se, val_ae, lr])
+
+        (params, opt), recs = jax.lax.scan(
+            epoch_body, (params, opt), jnp.arange(epochs))
+        return params, opt, recs
+
+    yv_dev = jnp.asarray(yv)
+    params, opt, recs = train_all(params, opt)
+    recs = np.asarray(recs)
+    records = RecordsWriter()
     for epoch in range(epochs):
-        lr = lr_at_epoch(tc.learning_rate, epoch, tc.lr_decay,
-                         tc.lr_decay_every)
-        perm = np.asarray(jax.random.permutation(
-            jax.random.fold_in(key, epoch + 1), n))
-        # include the trailing partial batch (pad + mask, like
-        # TrainLoop._batches) — the reference's model.fit trains on it too —
-        # and accumulate sample-weighted epoch loss/MAE, not a mean of
-        # per-batch means.
-        tot_se = tot_ae = 0.0
-        for s in range(0, n, tc.batch_size):
-            idx = perm[s:s + tc.batch_size]
-            real = len(idx)
-            if real < tc.batch_size:
-                idx = np.concatenate(
-                    [idx, np.zeros(tc.batch_size - real, np.int64)])
-            mask = np.zeros(tc.batch_size, np.float32)
-            mask[:real] = 1.0
-            params, opt, se, ae = step(params, opt, jnp.asarray(idx),
-                                       jnp.asarray(mask), jnp.float32(lr))
-            tot_se += float(se)
-            tot_ae += float(ae)
-        pred_v = np.asarray(predict(params, xv))
-        val_loss = float(np.mean((pred_v - yv) ** 2))
-        val_mae = float(np.mean(np.abs(pred_v - yv)))
-        records.log(epoch, tot_se / n, tot_ae / n, val_loss, val_mae, lr)
-        if verbose and (epoch + 1) % 50 == 0:
-            print(f"[{freq}] epoch {epoch + 1}/{epochs} "
-                  f"val_loss {val_loss:.4f}")
+        records.log(epoch, float(recs[epoch, 0]), float(recs[epoch, 1]),
+                    float(recs[epoch, 2]), float(recs[epoch, 3]),
+                    float(recs[epoch, 4]))
+    if verbose:
+        print(f"[{freq}] {epochs} epochs, final val_loss "
+              f"{recs[-1, 2]:.4f}")
     save_checkpoint(paths["weights"], params, {}, opt, step=epochs,
                     metadata={"freq": freq, "config": "par"})
     records.write(paths["records"])

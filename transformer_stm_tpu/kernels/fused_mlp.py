@@ -13,6 +13,7 @@ columns/rows are exact no-ops through matmul and gelu(0)=0).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -107,3 +108,265 @@ def fused_mlp(x, w1, b1, w2, b2):
         interpret=_INTERPRET,
     )(xf, w1p, b1p, w2p, b2p)
     return y[:n, :out].reshape(*orig_shape[:-1], out)
+
+
+# ---------------------------------------------------------------------------
+# Training-mode fused MLP (custom_vjp): Dense -> GELU -> Drop -> Dense -> Drop
+# ---------------------------------------------------------------------------
+#
+# The backward recomputes the hidden activation and the dropout masks
+# instead of stashing them, so the (N, 4D) intermediate never touches HBM in
+# either direction.  Dropout masks come from the TPU core PRNG
+# (pltpu.prng_seed / prng_random_bits), re-seeded identically in fwd and bwd
+# — deterministic given (seed, grid position).  The mask *stream* therefore
+# differs from the jax.random-based XLA path (equally-distributed Bernoulli;
+# the reference's TF dropout stream differs from both, so parity is defined
+# distribution-wise, not bitwise).  On CPU (interpret mode) an XLA fallback
+# with jax.random masks implements the same custom_vjp formulas — that path
+# is what the gradient tests validate.
+
+_SQRT1_2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_grad_exact(a):
+    """d/da [a * Phi(a)] = Phi(a) + a * phi(a)."""
+    phi = jnp.exp(-0.5 * a * a) * _INV_SQRT_2PI
+    big_phi = 0.5 * (1.0 + _erf_approx(a * _SQRT1_2))
+    return big_phi + a * phi
+
+
+def _keep_mask(bits, rate: float):
+    """uint32 random bits -> keep mask scaled by 1/(1-rate)."""
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return (bits >= thresh).astype(jnp.float32) / (1.0 - rate)
+
+
+def _mlp_train_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          o_ref, *, rate: float):
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    a = jnp.dot(x, w1_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu_exact(a)
+    if rate > 0.0:
+        h = h * _keep_mask(pltpu.prng_random_bits(h.shape), rate)
+    y = jnp.dot(h, w2_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    if rate > 0.0:
+        y = y * _keep_mask(pltpu.prng_random_bits(y.shape), rate)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _mlp_train_bwd_kernel(seed_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
+                          dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                          rate: float):
+    """Recompute + grads for one token block; weight/bias grads accumulate
+    across the (sequential) grid."""
+    if rate > 0.0:
+        # identical seeding + draw order as the forward kernel
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    w1 = w1_ref[:].astype(jnp.float32)
+    w2 = w2_ref[:].astype(jnp.float32)
+    a = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu_exact(a)
+    if rate > 0.0:
+        m1 = _keep_mask(pltpu.prng_random_bits(h.shape), rate)
+        h = h * m1
+    g = g_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        m2 = _keep_mask(pltpu.prng_random_bits(g.shape), rate)
+        g = g * m2
+    dh = jnp.dot(g, w2.T, preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        dh = dh * m1
+    da = dh * _gelu_grad_exact(a)
+    dx_ref[:] = jnp.dot(da, w1.T,
+                        preferred_element_type=jnp.float32).astype(
+                            dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dw1_ref[:] += jnp.dot(x.T, da, preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    dw2_ref[:] += jnp.dot(h.T, g, preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+
+def _train_dims(x, w1, w2):
+    d = x.shape[-1]
+    hd = w1.shape[1]
+    out = w2.shape[1]
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    bn = 256 if n >= 256 else _round_up(max(n, 8), 8)
+    return (n, d, hd, out, bn, _round_up(n, bn), _round_up(d, 128),
+            _round_up(hd, 128), _round_up(out, 128))
+
+
+def _fallback_masks(seed, shape1, shape2, rate: float):
+    """jax.random masks for the interpret/CPU path (same formulas, host
+    PRNG stream)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+    key = jax.random.fold_in(key, seed[1])
+    k1, k2 = jax.random.split(key)
+    m1 = jax.random.bernoulli(k1, 1.0 - rate, shape1).astype(
+        jnp.float32) / (1.0 - rate)
+    m2 = jax.random.bernoulli(k2, 1.0 - rate, shape2).astype(
+        jnp.float32) / (1.0 - rate)
+    return m1, m2
+
+
+def make_fused_mlp_train(rate: float, interpret: bool = None):
+    """Returns f(x, w1, b1, w2, b2, seed) -> y with a fused custom_vjp.
+
+    seed: (2,) int32 — derive from the step's dropout rng.  rate is static.
+    """
+    interp = _INTERPRET if interpret is None else interpret
+
+    @jax.custom_vjp
+    def f(x, w1, b1, w2, b2, seed):
+        return _fwd(x, w1, b1, w2, b2, seed)[0]
+
+    def _fwd(x, w1, b1, w2, b2, seed):
+        if interp and rate > 0.0:
+            # interpret mode lacks the TPU PRNG — same math, XLA masks
+            orig = x.shape
+            xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            a = xf @ w1.astype(jnp.float32) + b1
+            h = _gelu_exact(a)
+            m1, m2 = _fallback_masks(seed, a.shape,
+                                     (a.shape[0], w2.shape[1]), rate)
+            y = (h * m1) @ w2.astype(jnp.float32) + b2
+            y = y * m2
+            return (y.reshape(*orig[:-1], w2.shape[1]).astype(x.dtype),
+                    (x, w1, b1, w2, b2, seed))
+
+        n, d, hd, out, bn, n_pad, d_pad, hd_pad, out_pad = _train_dims(
+            x, w1, w2)
+        xf = jnp.pad(x.reshape(n, d), ((0, n_pad - n), (0, d_pad - d)))
+        w1p = jnp.pad(w1, ((0, d_pad - d), (0, hd_pad - hd)))
+        b1p = jnp.pad(b1.astype(jnp.float32),
+                      (0, hd_pad - hd)).reshape(1, hd_pad)
+        w2p = jnp.pad(w2, ((0, hd_pad - hd), (0, out_pad - out)))
+        b2p = jnp.pad(b2.astype(jnp.float32),
+                      (0, out_pad - out)).reshape(1, out_pad)
+        y = pl.pallas_call(
+            functools.partial(_mlp_train_fwd_kernel, rate=rate),
+            grid=(n_pad // bn,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd_pad, out_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, out_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * (d * hd + hd * out),
+                bytes_accessed=(xf.size + w1p.size + w2p.size) * 4,
+                transcendentals=2 * n * hd,
+            ),
+            interpret=interp,
+        )(seed, xf, w1p, b1p, w2p, b2p)
+        return (y[:n, :out].reshape(*x.shape[:-1], out),
+                (x, w1, b1, w2, b2, seed))
+
+    def _bwd(res, gy):
+        x, w1, b1, w2, b2, seed = res
+        if interp and rate > 0.0:
+            orig = x.shape
+            xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            a = xf @ w1.astype(jnp.float32) + b1
+            h0 = _gelu_exact(a)
+            m1, m2 = _fallback_masks(seed, a.shape,
+                                     (a.shape[0], w2.shape[1]), rate)
+            h = h0 * m1
+            g = gy.reshape(-1, gy.shape[-1]).astype(jnp.float32) * m2
+            dh = (g @ w2.astype(jnp.float32).T) * m1
+            da = dh * _gelu_grad_exact(a)
+            dx = (da @ w1.astype(jnp.float32).T).reshape(orig).astype(
+                x.dtype)
+            return (dx, (xf.T @ da).astype(w1.dtype),
+                    jnp.sum(da, axis=0).astype(b1.dtype),
+                    (h.T @ g).astype(w2.dtype),
+                    jnp.sum(g, axis=0).astype(b2.dtype),
+                    jnp.zeros(seed.shape, jax.dtypes.float0))
+
+        n, d, hd, out, bn, n_pad, d_pad, hd_pad, out_pad = _train_dims(
+            x, w1, w2)
+        xf = jnp.pad(x.reshape(n, d), ((0, n_pad - n), (0, d_pad - d)))
+        gf = jnp.pad(gy.reshape(n, out), ((0, n_pad - n),
+                                          (0, out_pad - out)))
+        w1p = jnp.pad(w1, ((0, d_pad - d), (0, hd_pad - hd)))
+        b1p = jnp.pad(b1.astype(jnp.float32),
+                      (0, hd_pad - hd)).reshape(1, hd_pad)
+        w2p = jnp.pad(w2, ((0, hd_pad - hd), (0, out_pad - out)))
+        dx, dw1, db1, dw2, db2 = pl.pallas_call(
+            functools.partial(_mlp_train_bwd_kernel, rate=rate),
+            grid=(n_pad // bn,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd_pad, out_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd_pad, out_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, out_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, d_pad), x.dtype),
+                jax.ShapeDtypeStruct((d_pad, hd_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, hd_pad), jnp.float32),
+                jax.ShapeDtypeStruct((hd_pad, out_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, out_pad), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=6 * n * (d * hd + hd * out),
+                bytes_accessed=(xf.size + gf.size + 2 * w1p.size
+                                + 2 * w2p.size) * 4,
+                transcendentals=2 * n * hd,
+            ),
+            interpret=interp,
+        )(seed, xf, gf, w1p, b1p, w2p)
+        return (dx[:n, :d].reshape(x.shape),
+                dw1[:d, :hd].astype(w1.dtype),
+                db1[0, :hd].astype(b1.dtype),
+                dw2[:hd, :out].astype(w2.dtype),
+                db2[0, :out].astype(b2.dtype),
+                jnp.zeros(seed.shape, jax.dtypes.float0))
+
+    f.defvjp(_fwd, _bwd)
+    return f

@@ -69,8 +69,8 @@ def init_cvt(key, spec: CvTSpec, dtype=jnp.float32):
 
 def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
                 train: bool = False, rng=None, impl: str = "auto",
-                axis_name=None, return_features: bool = False,
-                remat: bool = False):
+                mlp_impl=None, axis_name=None,
+                return_features: bool = False, remat: bool = False):
     """images: (B, H, W, C) float; proc: (B, proc_dim) or None.
 
     Returns (output (B, num_classes), new_state); with return_features=True
@@ -102,7 +102,8 @@ def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
                     strides=_st.strides, qkv_method=_st.qkv_method,
                     with_cls_token=_st.with_cls_token,
                     dropout_rate=_st.dropout_rate, train=train,
-                    rng=block_rng, impl=impl, axis_name=axis_name)
+                    rng=block_rng, impl=impl, mlp_impl=mlp_impl,
+                    axis_name=axis_name)
             if remat:
                 block_fn = jax.checkpoint(block_fn)
             x, cls, bs = block_fn(sp["blocks"][d], ss["blocks"][d], x,

@@ -42,11 +42,25 @@ def init_mlp(key, dim: int, hidden_dim: int, out_dim: Optional[int] = None,
 def mlp(params, x, *, dropout_rate: float = 0.1, train: bool = False,
         rng=None, impl: str = "auto"):
     """Dense->GELU->Drop->Dense->Drop.  In inference the two matmuls + GELU
-    fuse into one Pallas kernel on TPU (identical numerics)."""
+    fuse into one Pallas kernel on TPU (identical numerics).  In training,
+    impl='pallas' routes through the fused custom_vjp kernel
+    (kernels/fused_mlp.make_fused_mlp_train): fwd AND bwd keep the 4x
+    hidden out of HBM, with in-kernel dropout (equal-distribution Bernoulli
+    on the TPU core PRNG — a different stream than the jax.random XLA
+    path, same semantics)."""
     if impl == "auto":
         impl = ("pallas" if (jax.default_backend() == "tpu" and not train)
                 else "xla")
-    if impl == "pallas" and not train:
+    if impl in ("pallas", "flash") and train:
+        from ..kernels.fused_mlp import make_fused_mlp_train
+        rate = dropout_rate if dropout_rate > 0.0 else 0.0
+        seed = (jnp.zeros((2,), jnp.int32) if rng is None or rate == 0.0
+                else jax.random.randint(rng, (2,), 0, 2 ** 31 - 1,
+                                        jnp.int32))
+        f = make_fused_mlp_train(rate)
+        return f(x, params["fc1"]["kernel"], params["fc1"]["bias"],
+                 params["fc2"]["kernel"], params["fc2"]["bias"], seed)
+    if impl in ("pallas", "flash") and not train:
         from ..kernels.fused_mlp import fused_mlp
         return fused_mlp(x, params["fc1"]["kernel"], params["fc1"]["bias"],
                          params["fc2"]["kernel"], params["fc2"]["bias"])
@@ -88,7 +102,8 @@ def conv_transformer_block(params, state, x, *, num_heads: int,
                            qkv_method: str = "dw_bn",
                            with_cls_token: bool = False,
                            dropout_rate: float = 0.1, train: bool = False,
-                           rng=None, impl: str = "auto", axis_name=None):
+                           rng=None, impl: str = "auto", mlp_impl=None,
+                           axis_name=None):
     """x: (B, H, W, C) -> ((B, H, W, C), cls (B, 1, C) | None, new_state).
 
     Mirrors reference models/CvT(Par).py:261-289.
@@ -115,7 +130,8 @@ def conv_transformer_block(params, state, x, *, num_heads: int,
     # Reference reuses norm1 (shared weights) before the MLP (:278).
     y = layer_norm(params["norm1"], tokens, eps=1e-6)
     tokens = tokens + mlp(params["mlp"], y, dropout_rate=dropout_rate,
-                          train=train, rng=rng_mlp, impl=impl)
+                          train=train, rng=rng_mlp,
+                          impl=mlp_impl if mlp_impl is not None else impl)
 
     new_state = {"attn": attn_state}
     if with_cls_token:

@@ -198,9 +198,16 @@ def batch_norm(params, state, x, train: bool, momentum: float = 0.99,
             mean = lax.pmean(mean, axis_name)
             mean_sq = lax.pmean(mean_sq, axis_name)
         var = mean_sq - jnp.square(mean)
+        # Keras-2 fused BatchNorm (what the reference ran on) updates the
+        # moving variance with the UNBIASED sample variance (Bessel's
+        # n/(n-1)), while normalisation uses the biased batch variance.
+        n = x.size // x.shape[-1]
+        if axis_name is not None:
+            n = n * lax.psum(1, axis_name)
+        bessel = n / max(n - 1, 1)
         new_state = {
             "mean": momentum * state["mean"] + (1 - momentum) * mean,
-            "var": momentum * state["var"] + (1 - momentum) * var,
+            "var": momentum * state["var"] + (1 - momentum) * var * bessel,
         }
     else:
         mean, var = state["mean"], state["var"]

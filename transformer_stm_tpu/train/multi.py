@@ -56,7 +56,8 @@ def _tree_where(pred_t, new, old):
 
 def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                      rows_max: int, n_val_steps: int, impl: str = "auto",
-                     epochs_per_call: int = 1, remat: bool = True):
+                     epochs_per_call: int = 1, remat: bool = True,
+                     mlp_impl: str = "xla"):
     """Builds the one-dispatch multi-target epoch program.
 
     Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
@@ -79,7 +80,8 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
             out, new_state = cvt_forward(
                 pp, sst, spec, imgs.astype(compute_dtype),
                 proc.astype(compute_dtype) if proc is not None else None,
-                train=True, rng=rng, impl=impl, remat=remat)
+                train=True, rng=rng, impl=impl, mlp_impl=mlp_impl,
+                remat=remat)
             pred = out.reshape(-1).astype(jnp.float32)
             k = jnp.maximum(jnp.sum(mask), 1.0)
             se = jnp.sum(jnp.square(pred - yy) * mask)
