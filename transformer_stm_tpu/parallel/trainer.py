@@ -143,6 +143,51 @@ class ShardedTrainer:
         se, ae, cnt = np.asarray(acc)
         return {"loss": se / cnt, "mae": ae / cnt, "lr": float(lr)}
 
+    def train_epoch_device_scan(self, n: int, epoch: int):
+        """The production epoch path on a mesh: ONE compiled XLA program
+        (lax.scan over the epoch's steps, train/loop.make_epoch_scan) with
+        the per-step batch-index gather sharded over 'data'.  This is what
+        real training runs (TrainLoop.fit device_data path), now executed
+        under GSPMD: per-device local gathers, gradient allreduce over ICI,
+        no per-step dispatch."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..train.loop import make_epoch_scan
+        from ..train.optimizer import lr_at_epoch
+
+        cfg = self.cfg
+        bs = cfg.batch_size
+        lr = jnp.float32(lr_at_epoch(cfg.learning_rate, epoch,
+                                     cfg.lr_decay, cfg.lr_decay_every))
+        if not hasattr(self, "_escan"):
+            # idx/mask (S, B): shard the within-step batch dim over 'data'
+            sb = NamedSharding(self.mesh, P(None, "data"))
+            self._escan = jax.jit(
+                make_epoch_scan(self.spec, self.cfg, impl="auto"),
+                in_shardings=(None, None, None, None, sb, sb, None, None,
+                              None),
+                donate_argnums=(0, 1, 2))
+        key = jax.random.fold_in(self.shuffle_key, epoch)
+        perm = np.asarray(jax.random.permutation(key, n))
+        idxs, masks = [], []
+        for s in range(0, n, bs):
+            idx = perm[s:s + bs]
+            real = len(idx)
+            if real < bs:
+                idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
+            mask = np.zeros(bs, np.float32)
+            mask[:real] = 1.0
+            idxs.append(idx)
+            masks.append(mask)
+        steps = len(idxs)
+        step_ids = jnp.arange(epoch * steps, epoch * steps + steps,
+                              dtype=jnp.int32)
+        self.params, self.state, self.opt, acc = self._escan(
+            self.params, self.state, self.opt, self._data_dev,
+            jnp.asarray(np.stack(idxs)), jnp.asarray(np.stack(masks)),
+            step_ids, self.dropout_key, lr)
+        se, ae, cnt = np.asarray(acc)
+        return {"loss": se / cnt, "mae": ae / cnt, "lr": float(lr)}
+
     def train_epoch(self, images, proc, labels, epoch: int):
         from ..train.optimizer import lr_at_epoch
 
