@@ -188,6 +188,30 @@ class ShardedTrainer:
         se, ae, cnt = np.asarray(acc)
         return {"loss": se / cnt, "mae": ae / cnt, "lr": float(lr)}
 
+    def save(self, ckpt_dir: str, epoch: int, metadata=None) -> str:
+        """Per-process sharded checkpoint of (params, state, opt) — each
+        host writes only its addressable shards (train/sharded_checkpoint).
+        """
+        from ..train.sharded_checkpoint import save_sharded_checkpoint
+
+        return save_sharded_checkpoint(ckpt_dir, self.params, self.state,
+                                       self.opt, epoch, metadata)
+
+    def load(self, ckpt_dir: str) -> Optional[int]:
+        """Resume from the latest sharded checkpoint in ckpt_dir, restoring
+        shard-by-shard onto this trainer's mesh layout.  Returns the saved
+        epoch, or None if no checkpoint exists."""
+        from ..train.sharded_checkpoint import (latest_sharded_checkpoint,
+                                                restore_sharded_checkpoint)
+
+        manifest = latest_sharded_checkpoint(ckpt_dir)
+        if manifest is None:
+            return None
+        self.params, self.state, self.opt, epoch = \
+            restore_sharded_checkpoint(manifest, self.params, self.state,
+                                       self.opt)
+        return epoch
+
     def train_epoch(self, images, proc, labels, epoch: int):
         from ..train.optimizer import lr_at_epoch
 

@@ -85,6 +85,41 @@ class ViTTrainer:
         self._fwd = jax.jit(
             lambda p, x: vit_forward(p, spec, x, train=False, impl=impl))
         self.epoch = 0
+        self.records: list = []  # [epoch, loss, acc, lr] per epoch
+
+    def save(self, ckpt_dir: str) -> str:
+        """Atomic (params, opt, epoch) checkpoint + records sidecar —
+        same resume discipline as the CvT loop (train/checkpoint.py)."""
+        from .checkpoint import save_checkpoint
+
+        path = save_checkpoint(ckpt_dir, self.params, {}, self.opt,
+                               self.epoch, {"records": self.records})
+        return path
+
+    def load(self, ckpt_dir: str) -> bool:
+        """Resume from the latest checkpoint in ckpt_dir (if any)."""
+        import json
+        import os
+
+        from .checkpoint import latest_checkpoint, load_checkpoint
+
+        path = latest_checkpoint(ckpt_dir)
+        if path is None:
+            return False
+        self.params, _, self.opt, self.epoch = load_checkpoint(
+            path, self.params, {}, self.opt)
+        with open(path[:-4] + ".json") as f:
+            self.records = json.load(f).get("records", [])
+        return True
+
+    def write_records(self, path: str) -> None:
+        """Training-curve xlsx in the reference's records schema."""
+        from ..data.xlsx import write_xlsx
+
+        rows = [["epoch", "loss", "acc", "lr"]] + self.records
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        write_xlsx(path, {"Sheet1": rows})
 
     def train_epoch(self, images, labels, epoch: Optional[int] = None):
         cfg = self.cfg
@@ -115,8 +150,10 @@ class ViTTrainer:
             losses.append(float(m["loss"]))
             accs.append(float(m["acc"]))
         self.epoch = epoch + 1
-        return {"loss": float(np.mean(losses)), "acc": float(np.mean(accs)),
-                "lr": lr}
+        m = {"loss": float(np.mean(losses)), "acc": float(np.mean(accs)),
+             "lr": lr}
+        self.records.append([epoch + 1, m["loss"], m["acc"], lr])
+        return m
 
     def predict(self, images, batch_size: Optional[int] = None):
         bs = batch_size or self.cfg.batch_size
