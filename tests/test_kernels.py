@@ -226,3 +226,82 @@ def test_fused_mlp_train_grads_with_dropout_fallback():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# attention_small (native-Dh, whole-KV-in-VMEM kernel for production shapes)
+# ---------------------------------------------------------------------------
+
+from transformer_stm_tpu.kernels.flash_attention import attention_small
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_attention_small_matches_xla(shape):
+    b, t, h, dh = shape
+    rng = np.random.default_rng(t)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+               for _ in range(3))
+    _, ref = _reference_attention(q, k, v)
+    out = attention_small(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_attention_small_cross_lengths():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 197, 4, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 50, 4, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 50, 4, 64)), jnp.float32)
+    _, ref = _reference_attention(q, k, v)
+    out = attention_small(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(1, 197, 6, 64), (2, 65, 4, 64),
+                                   (1, 1024, 1, 64), (2, 100, 3, 32)])
+def test_attention_small_grad_matches_xla(shape):
+    b, t, h, dh = shape
+    rng = np.random.default_rng(t + 7)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+               for _ in range(3))
+
+    def loss_small(q, k, v):
+        return jnp.sum(attention_small(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v)[1] ** 2)
+
+    gs = jax.grad(loss_small, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_attention_small_bf16():
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 197, 6, 64)), jnp.bfloat16)
+               for _ in range(3))
+    _, ref = _reference_attention(q, k, v)
+    out = attention_small(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_attention_small_grad_under_vmap():
+    """The multi-target trainer vmaps the whole model over stacked params;
+    the kernel must differentiate correctly under that transform."""
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.normal(size=(3, 1, 64, 2, 64)), jnp.float32)
+               for _ in range(3))
+
+    def loss(q, k, v):
+        return jnp.sum(attention_small(q, k, v) ** 2)
+
+    gs = jax.vmap(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for i in range(3):
+        gr = jax.grad(lambda a, b, c: jnp.sum(
+            _reference_attention(a, b, c)[1] ** 2), argnums=(0, 1, 2))(
+                q[i], k[i], v[i])
+        for a, b_ in zip((gs[0][i], gs[1][i], gs[2][i]), gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-3, rtol=1e-2)

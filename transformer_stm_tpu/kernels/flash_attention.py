@@ -417,3 +417,276 @@ def _bwd(res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Small/medium-sequence kernel (the production shapes: 197-8k tokens)
+# ---------------------------------------------------------------------------
+#
+# The streaming kernel above zero-pads head_dim 64 -> 128 lanes (2x VMEM
+# traffic + MXU work for every model in this repo) and pays running-softmax
+# bookkeeping that only matters when K/V exceed VMEM.  At the shapes the
+# CvT/ViT actually run (T <= 1024, Dh = 64), whole K/V fit in VMEM, so this
+# pair instead:
+#   - keeps Dh native (block minor dim == array dim - no lane padding);
+#   - computes the exact one-pass softmax over the full row (no running
+#     max/denom rescale);
+#   - packs `hp` batch-heads per grid program to amortise Mosaic's
+#     per-program overhead (the measured killer below ~1M score entries);
+#   - backward recomputes probabilities from saved lse (dkv) or from
+#     scratch (dq - it holds full rows anyway), with lse carried in an
+#     (BH, T, 8)-lane aux array instead of hiding it in Dh padding.
+
+
+def _pick_hp(bh: int, per_head_bytes: int, budget: int = 8 << 20) -> int:
+    for hp in (16, 8, 4, 2, 1):
+        if bh % hp == 0 and hp * per_head_bytes <= budget:
+            return hp
+    return 1
+
+
+def _small_fwd_kernel(q_ref, k_ref, v_ref, o_ref, aux_ref=None, *,
+                      s_real: int, scale: float, hp: int, with_lse: bool):
+    for h in range(hp):
+        q = q_ref[h].astype(jnp.float32)
+        k = k_ref[h].astype(jnp.float32)
+        v = v_ref[h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        bq = q.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+        o_ref[h] = o.astype(o_ref.dtype)
+        if with_lse:
+            lse = m + jnp.log(l)  # (bq, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bq, 8), 1)
+            aux_ref[h] = jnp.where(lane == 0, lse, 0.0)
+
+
+def _small_fwd_impl(q, k, v, with_lse: bool = False):
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+    bh = b * h
+
+    qf = q.transpose(0, 2, 1, 3).reshape(bh, t, dh)
+    kf = k.transpose(0, 2, 1, 3).reshape(bh, s, dh)
+    vf = v.transpose(0, 2, 1, 3).reshape(bh, s, dh)
+
+    bq = 512 if t > 512 else _round_up(t, 8)
+    t_pad = _round_up(t, bq)
+    s_pad = _round_up(s, 8)
+    it = qf.dtype.itemsize
+    per_head = (2 * s_pad * dh * it + 3 * bq * dh * 4
+                + 2 * bq * s_pad * 4)
+    hp = _pick_hp(bh, per_head)
+
+    qf = jnp.pad(qf, ((0, 0), (0, t_pad - t), (0, 0)))
+    kf = jnp.pad(kf, ((0, 0), (0, s_pad - s), (0, 0)))
+    vf = jnp.pad(vf, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    grid = (bh // hp, t_pad // bq)
+    outs = [jax.ShapeDtypeStruct((bh, t_pad, dh), q.dtype)]
+    out_specs = [pl.BlockSpec((hp, bq, dh), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_lse:
+        outs.append(jax.ShapeDtypeStruct((bh, t_pad, 8), jnp.float32))
+        out_specs.append(pl.BlockSpec((hp, bq, 8), lambda i, j: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
+        functools.partial(_small_fwd_kernel, s_real=s, scale=scale, hp=hp,
+                          with_lse=with_lse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((hp, bq, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=outs if with_lse else outs[0],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * s * dh,
+            bytes_accessed=(qf.size * 2 + kf.size + vf.size) * it,
+            transcendentals=bh * t * s,
+        ),
+        interpret=_INTERPRET,
+    )(qf, kf, vf)
+    out = res[0] if with_lse else res
+    o = out[:, :t].reshape(b, h, t, dh).transpose(0, 2, 1, 3)
+    if not with_lse:
+        return o
+    return o, res[1]  # aux (BH, t_pad, 8): lse in lane 0
+
+
+def _small_bwd_dq_kernel(q_ref, g_ref, o_ref, k_ref, v_ref, dq_ref, *,
+                         s_real: int, scale: float, hp: int):
+    """dq: holds full K/V rows, so softmax is recomputed exactly in one
+    pass — no aux needed.  delta = rowsum(g * o) in-register."""
+    for h in range(hp):
+        q = q_ref[h].astype(jnp.float32)
+        g = g_ref[h].astype(jnp.float32)
+        o = o_ref[h].astype(jnp.float32)
+        k = k_ref[h].astype(jnp.float32)
+        v = v_ref[h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        delta = jnp.sum(g * o, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dq_ref[h] = dq.astype(dq_ref.dtype)
+
+
+def _small_bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, aux_ref, dk_ref,
+                          dv_ref, *, scale: float, hp: int):
+    """dk/dv: probabilities rebuilt from the forward's saved lse (lane 0)
+    with delta in lane 1.  Padded q rows are harmless: q=g=aux=0 there, so
+    p = exp(0 - 0) = 1 multiplies zero g/delta contributions."""
+    for h in range(hp):
+        k = k_ref[h].astype(jnp.float32)
+        v = v_ref[h].astype(jnp.float32)
+        q = q_ref[h].astype(jnp.float32)
+        g = g_ref[h].astype(jnp.float32)
+        aux = aux_ref[h]                      # (t_pad, 8) f32
+        lse = aux[:, 0:1]
+        delta = aux[:, 1:2]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                  # (t_pad, bk)
+        dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk_ref[h] = dk.astype(dk_ref.dtype)
+        dv_ref[h] = dv.astype(dv_ref.dtype)
+
+
+def _small_bwd_impl(res, grad):
+    q, k, v, o, aux = res
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+    bh = b * h
+
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
+    t_pad = aux.shape[1]
+    bq = 512 if t > 512 else _round_up(t, 8)
+    s_pad = _round_up(s, 8)
+    bk = 512 if s > 512 else s_pad
+    skv_pad = _round_up(s, bk)
+
+    qf = jnp.pad(fold(q), ((0, 0), (0, t_pad - t), (0, 0)))
+    gf = jnp.pad(fold(grad), ((0, 0), (0, t_pad - t), (0, 0)))
+    of = jnp.pad(fold(o), ((0, 0), (0, t_pad - t), (0, 0)))
+    kf = jnp.pad(fold(k), ((0, 0), (0, s_pad - s), (0, 0)))
+    vf = jnp.pad(fold(v), ((0, 0), (0, s_pad - s), (0, 0)))
+
+    # delta = rowsum(g * o) joins the saved lse in aux lane 1 (cheap fused
+    # elementwise+reduce in XLA; everything heavy stays in the kernels)
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)                 # (BH, t_pad, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
+    aux = aux + jnp.where(lane == 1, delta, 0.0)
+
+    it = qf.dtype.itemsize
+    hp_q = _pick_hp(bh, 2 * s_pad * dh * it + 4 * bq * dh * 4
+                    + 3 * bq * s_pad * 4)
+    dq = pl.pallas_call(
+        functools.partial(_small_bwd_dq_kernel, s_real=s, scale=scale,
+                          hp=hp_q),
+        grid=(bh // hp_q, t_pad // bq),
+        in_specs=[
+            pl.BlockSpec((hp_q, bq, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_q, bq, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_q, bq, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_q, s_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_q, s_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((hp_q, bq, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dh), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * s * dh,
+            bytes_accessed=(3 * qf.size + 2 * kf.size) * it,
+            transcendentals=bh * t * s,
+        ),
+        interpret=_INTERPRET,
+    )(qf, gf, of, kf, vf)
+
+    kq = jnp.pad(fold(k), ((0, 0), (0, skv_pad - s), (0, 0)))
+    vq = jnp.pad(fold(v), ((0, 0), (0, skv_pad - s), (0, 0)))
+    hp_k = _pick_hp(bh, 2 * bk * dh * it + 2 * t_pad * dh * it
+                    + t_pad * 8 * 4 + 3 * t_pad * bk * 4)
+    dk, dv = pl.pallas_call(
+        functools.partial(_small_bwd_dkv_kernel, scale=scale, hp=hp_k),
+        grid=(bh // hp_k, skv_pad // bk),
+        in_specs=[
+            pl.BlockSpec((hp_k, bk, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_k, bk, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_k, t_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_k, t_pad, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_k, t_pad, 8), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((hp_k, bk, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp_k, bk, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, skv_pad, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * t * s * dh,
+            bytes_accessed=(2 * qf.size + 4 * kq.size) * it,
+            transcendentals=bh * t * s,
+        ),
+        interpret=_INTERPRET,
+    )(kq, vq, qf, gf, aux)
+
+    unfold = lambda x, n: x[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
+    return (unfold(dq, t).astype(q.dtype), unfold(dk, s).astype(k.dtype),
+            unfold(dv, s).astype(v.dtype))
+
+
+@jax.custom_vjp
+def attention_small(q, k, v):
+    """Exact softmax(q k^T / sqrt(Dh)) v for short/medium sequences
+    (whole K/V per program; native head_dim; batch-head packing).
+    q: (B, T, H, Dh), k/v: (B, S, H, Dh)."""
+    return _small_fwd_impl(q, k, v)
+
+
+def _small_fwd(q, k, v):
+    o, aux = _small_fwd_impl(q, k, v, with_lse=True)
+    return o, (q, k, v, o, aux)
+
+
+attention_small.defvjp(_small_fwd, _small_bwd_impl)
