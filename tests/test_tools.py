@@ -205,3 +205,41 @@ def test_renumber_folders(tmp_path):
     renumber_folders(str(tmp_path), dry_run=False)
     assert (tmp_path / "trail1_01").is_dir()
     assert not (tmp_path / "item_a").exists()
+
+
+def test_plot_values_vs_group_average(tmp_path):
+    """Dataset visualizer parity (reference tools/Plot_Original_Data.py:
+    176-197): per-image expansion x layers, per-group average over 5
+    specimens, plus the twin-axis parameters view."""
+    from transformer_stm_tpu.tools.plots import (
+        plot_labels_vs_parameters, plot_values_vs_group_average)
+
+    # 2 groups x 5 specimens, 3 layers each
+    values = [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+    out = str(tmp_path / "od.png")
+    plot_values_vs_group_average(values, "50HZ_Bm", out,
+                                 pieces_per_group=5, layers_per_piece=3)
+    assert os.path.getsize(out) > 0
+
+    # numerics of the expansion (what the plot draws)
+    import numpy as np
+    vals = np.asarray(values)
+    per_image = np.repeat(vals, 3)
+    assert len(per_image) == 30
+    g1 = vals[:5].mean()
+    g2 = vals[5:].mean()
+    assert g1 == 3.0 and g2 == 30.0
+
+    proc = np.tile(np.arange(5, dtype=np.float64), (10, 1))
+    pout = str(tmp_path / "od_params.png")
+    plot_labels_vs_parameters(values, proc, "50HZ_Bm", pout,
+                              layers_per_piece=3)
+    assert os.path.getsize(pout) > 0
+
+
+def test_plot_data_cli(tmp_path):
+    from transformer_stm_tpu.cli import main
+
+    out = str(tmp_path / "od_{freq}.png")
+    assert main(["plot-data", "--freq", "200HZ_Hc", "--out", out]) == 0
+    assert os.path.getsize(str(tmp_path / "od_200HZ_Hc.png")) > 0

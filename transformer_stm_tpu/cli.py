@@ -113,6 +113,14 @@ def main(argv=None):
     p.add_argument("--config", help="JSON config path")
     p.add_argument("--out", default="labels.png")
 
+    p = sub.add_parser("plot-data", help="dataset visualizer: per-image "
+                       "values vs group averages (Plot_Original_Data)")
+    p.add_argument("--config", help="JSON config path")
+    p.add_argument("--freq", default="50HZ_Bm")
+    p.add_argument("--out", default="original_data_{freq}.png")
+    p.add_argument("--params", action="store_true",
+                   help="also write the labels-vs-parameters twin-axis view")
+
     args = ap.parse_args(argv)
 
     if args.cmd in ("train", "test"):
@@ -177,6 +185,27 @@ def main(argv=None):
             labels_by_freq[f] = vals
         plot_label_distribution(labels_by_freq, args.out)
         print(f"wrote {args.out}")
+    elif args.cmd == "plot-data":
+        import numpy as np
+
+        from .data.labels import LabelTable, ProcessTable, standard_scale
+        from .tools.plots import (plot_labels_vs_parameters,
+                                  plot_values_vs_group_average)
+        cfg = load_config(args.config) if args.config else ExperimentConfig()
+        lt = LabelTable.load(cfg.data.excel_labels)
+        values = lt.target_values(args.freq)
+        out = args.out.format(freq=args.freq)
+        plot_values_vs_group_average(values, args.freq, out)
+        print(f"wrote {out}")
+        if args.params:
+            pt = ProcessTable.load(cfg.data.excel_process)
+            per_piece = np.array(
+                [pt.group_params(g) for g in range(len(pt.rows))
+                 for _ in range(5)][:len(values)])
+            scaled = standard_scale(per_piece)[0]
+            pout = out.replace(".png", "_params.png")
+            plot_labels_vs_parameters(values, scaled, args.freq, pout)
+            print(f"wrote {pout}")
     return 0
 
 

@@ -206,3 +206,83 @@ def plot_label_distribution(labels_by_freq: Dict[str, np.ndarray],
     _ensure_dir(out_path)
     fig.savefig(out_path, dpi=100)
     plt.close(fig)
+
+
+def plot_values_vs_group_average(values, freq: str, out_path: str,
+                                 pieces_per_group: int = 5,
+                                 layers_per_piece: int = 200) -> None:
+    """The reference's dataset visualizer view (tools/Plot_Original_Data.py
+    :176-197): per-image label values over the corpus (each specimen's value
+    repeated for its `layers_per_piece` images) against the per-group
+    average (one group = `pieces_per_group` specimens), drawn as a dashed
+    step line.
+
+    `values` is the per-specimen label column (LabelTable.target_values);
+    None/NaN entries are expanded like numbers so image numbering matches
+    the reference corpus layout.
+    """
+    vals = np.array([np.nan if v is None else float(v) for v in values],
+                    np.float64)
+    per_image = np.repeat(vals, layers_per_piece)
+    n_groups = len(vals) // pieces_per_group
+    group_avg = np.empty_like(per_image)
+    span = pieces_per_group * layers_per_piece
+    for g in range(n_groups):
+        block = vals[g * pieces_per_group:(g + 1) * pieces_per_group]
+        group_avg[g * span:(g + 1) * span] = np.nanmean(block) \
+            if np.any(~np.isnan(block)) else np.nan
+    image_numbers = np.arange(1, len(per_image) + 1)
+
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(image_numbers, per_image, label="Actual", marker="o",
+            markersize=1, linewidth=0.5)
+    ax.plot(image_numbers, group_avg, label="Group Average", color="red",
+            linestyle="--")
+    ax.set_xlabel("Image Number")
+    ax.set_ylabel("Values")
+    ax.set_title(f"Actual vs Group Average - {freq}")
+    ax.legend()
+    fig.tight_layout()
+    _ensure_dir(out_path)
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def plot_labels_vs_parameters(values, proc_scaled: np.ndarray, freq: str,
+                              out_path: str,
+                              layers_per_piece: int = 200) -> None:
+    """The visualizer's twin-axis labels-vs-scaled-process-parameters view
+    (tools/Plot_Original_Data.py:135-170 — present in the reference but
+    commented out; kept here as a working tool).  `proc_scaled` is
+    (n_specimens, 5) standard-scaled parameters."""
+    vals = np.array([np.nan if v is None else float(v) for v in values],
+                    np.float64)
+    per_image = np.repeat(vals, layers_per_piece)
+    proc_rep = np.repeat(np.asarray(proc_scaled, np.float64),
+                         layers_per_piece, axis=0)
+    image_numbers = np.arange(1, len(per_image) + 1)
+    param_labels = ["Oxygen Concentration", "Laser Scanning Speed",
+                    "Laser Power", "Layer Spacing", "Energy Density"]
+    colors = ["red", "green", "blue", "purple", "orange"]
+
+    fig, ax1 = plt.subplots(figsize=(10, 4))
+    ax1.set_xlabel("Image Number")
+    ax1.set_ylabel("Labels", color="tab:blue")
+    ax1.plot(image_numbers, per_image, label="Labels", marker="o",
+             markersize=1, linewidth=0.5, color="tab:blue")
+    ax1.tick_params(axis="y", labelcolor="tab:blue")
+    ax2 = ax1.twinx()
+    for i, lbl in enumerate(param_labels):
+        ax2.plot(image_numbers, proc_rep[:, i], label=lbl, marker="x",
+                 markersize=1, linewidth=0.5, color=colors[i])
+    ax2.set_ylabel("Parameters", color="tab:red")
+    ax2.tick_params(axis="y", labelcolor="tab:red")
+    l1, n1 = ax1.get_legend_handles_labels()
+    l2, n2 = ax2.get_legend_handles_labels()
+    ax2.legend(l1 + l2, n1 + n2, loc="upper center",
+               bbox_to_anchor=(0.5, -0.15), ncol=6, fontsize=6)
+    ax1.set_title(f"Labels vs Parameters - {freq}")
+    fig.tight_layout()
+    _ensure_dir(out_path)
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
