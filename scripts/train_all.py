@@ -38,8 +38,12 @@ def main():
 
     from transformer_stm_tpu.train.multi import MultiTargetTrainer
     t0 = time.time()
+    # vmap hides the target axis from auto-routing's score-bytes estimate,
+    # so pick the attention impl explicitly: the whole-KV-in-VMEM kernel
+    # never materialises the (T*B, H, S, S) scores that OOM the chip.
+    impl = os.environ.get("TSTM_MULTI_IMPL", "small")
     tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
-                            epochs_per_call=epc)
+                            epochs_per_call=epc, impl=impl)
     ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
                          "multi_run.ckpts")
     if tr.load(ckdir):

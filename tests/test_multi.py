@@ -125,3 +125,25 @@ def test_multi_epochs_per_call_equivalence(tmp_path):
     assert _leaves_equal(a.params, b.params)
     assert np.allclose(np.asarray(a.records[0], np.float64),
                        np.asarray(b.records[0], np.float64), rtol=1e-6)
+
+
+def test_multi_impl_small_matches_xla(tmp_path):
+    """The production run passes impl='small' (whole-KV-in-VMEM kernel);
+    its numerics must track the XLA path it replaces."""
+    os.environ["TSTM_PALLAS_INTERPRET"] = "1"
+    try:
+        from transformer_stm_tpu.train.multi import MultiTargetTrainer
+
+        cfg = _cfg(tmp_path)
+        ta = MultiTargetTrainer(cfg, [("50HZ_Bm", 0, None)], impl="xla")
+        ta.fit(epochs=1, verbose=False)
+        tb = MultiTargetTrainer(cfg, [("50HZ_Bm", 0, None)], impl="small")
+        tb.fit(epochs=1, verbose=False)
+        la = jax.tree_util.tree_leaves(ta.params)
+        lb = jax.tree_util.tree_leaves(tb.params)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x, np.float32),
+                                       np.asarray(y, np.float32),
+                                       atol=5e-3, rtol=5e-2)
+    finally:
+        os.environ.pop("TSTM_PALLAS_INTERPRET", None)

@@ -89,14 +89,23 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
         h = q.shape[2]
         score_bytes = 4 * h * q.shape[1] * k.shape[1] * q.shape[0]
         big_scores = score_bytes > (1 << 30)
-        impl = "pallas" if (jax.default_backend() == "tpu"
-                            and (long_seq or big_scores)) else "xla"
+        if jax.default_backend() != "tpu":
+            impl = "xla"
+        elif long_seq:
+            impl = "pallas"       # streaming flash: K/V exceed VMEM budget
+        elif big_scores:
+            impl = "small"        # scores stay in VMEM, no HBM blowup
+        else:
+            impl = "xla"
     if impl in ("pallas", "flash"):
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
+    if impl in ("small", "pallas_small"):
+        from ..kernels.flash_attention import attention_small
+        return attention_small(q, k, v)
     if impl != "xla":
-        raise ValueError(f"unknown attention impl {impl!r} "
-                         "(want 'auto' | 'xla' | 'pallas' | 'flash')")
+        raise ValueError(f"unknown attention impl {impl!r} (want 'auto' | "
+                         "'xla' | 'pallas' | 'flash' | 'small')")
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
     prec = matmul_precision(q.dtype)
