@@ -1,0 +1,73 @@
+"""The "(many)" repeat-run variance study (reference models/CvT(Par)(many)
+.py:499-505: 8 repeats per target, artifacts suffixed _{time}).
+
+All 8 repeats train *simultaneously* as vmapped slots of the multi-target
+trainer — one jitted program, 8 different init seeds, identical protocol.
+Writes per-repeat artifacts in the reference's (many) naming
+(cvt_model_weights_{freq}_{time}_...) plus a variance summary
+(mean/std/min/max R2-MSE-MAE) into Result/many_{freq}_summary.json.
+
+Usage: python scripts/train_many.py [freq] [epochs] [repeats]
+"""
+
+import json
+import os
+import sys
+import time as _time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from transformer_stm_tpu.config import ExperimentConfig, TrainConfig
+
+
+def main():
+    freq = sys.argv[1] if len(sys.argv) > 1 else "50HZ_Bm"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    cfg = ExperimentConfig(
+        inputs="img+par",
+        frequencies=(freq,),
+        train=TrainConfig(epochs=epochs, batch_size=128,
+                          compute_dtype="bfloat16"),
+        result_dir="Result",
+    )
+    from transformer_stm_tpu.train.multi import MultiTargetTrainer
+
+    targets = [(freq, 1000 + t, t) for t in range(1, repeats + 1)]
+    impl = os.environ.get("TSTM_MULTI_IMPL", "small")
+    t0 = _time.time()
+    tr = MultiTargetTrainer(cfg, targets, epochs_per_call=10, impl=impl)
+    ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
+                         f"many_{freq}.ckpts")
+    if tr.load(ckdir):
+        print(f"resumed at epoch {tr.epoch}", flush=True)
+    tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=50,
+           verbose=True)
+    print(f"trained {repeats} repeats in {(_time.time()-t0)/60:.1f} min",
+          flush=True)
+    tr.export(verbose=True)
+
+    from transformer_stm_tpu.harness import test_target
+    rows = []
+    for _, seed, tsuf in targets:
+        res = test_target(cfg, freq, time=tsuf, verbose=True)
+        rows.append({"time": tsuf, "seed": seed, "r2": res["r2"],
+                     "mse": res["mse"], "mae": res["mae"]})
+    arr = {k: np.array([r[k] for r in rows]) for k in ("r2", "mse", "mae")}
+    summary = {
+        "freq": freq, "epochs": epochs, "repeats": repeats,
+        "runs": rows,
+        "stats": {k: {"mean": float(v.mean()), "std": float(v.std(ddof=1)),
+                      "min": float(v.min()), "max": float(v.max())}
+                  for k, v in arr.items()},
+    }
+    with open(f"Result/many_{freq}_summary.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary["stats"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
