@@ -50,7 +50,7 @@ def main():
         print(f"resumed from {ckdir} at epoch {tr.epoch}", flush=True)
     print(f"targets={len(targets)} steps/epoch={tr.steps_per_epoch} "
           f"rows_max={tr.rows_max}", flush=True)
-    tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=50,
+    tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=20,
            verbose=True)
     print(f"training done in {(time.time() - t0) / 60:.1f} min", flush=True)
     tr.export(verbose=True)
