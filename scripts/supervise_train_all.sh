@@ -5,9 +5,11 @@
 EPOCHS=${1:-1000}
 EPC=${2:-10}
 LOG=${3:-/tmp/train_all.log}
+shift 3 || true
+TARGETS="$@"
 for i in $(seq 1 200); do
   echo "=== supervisor attempt $i $(date +%H:%M:%S) ===" >> "$LOG"
-  python scripts/train_all.py "$EPOCHS" "$EPC" >> "$LOG" 2>&1
+  python scripts/train_all.py "$EPOCHS" "$EPC" $TARGETS >> "$LOG" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     echo "=== supervisor: run completed ===" >> "$LOG"

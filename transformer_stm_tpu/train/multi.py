@@ -57,7 +57,7 @@ def _tree_where(pred_t, new, old):
 def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                      rows_max: int, n_val_steps: int, impl: str = "auto",
                      epochs_per_call: int = 1, remat: bool = True,
-                     mlp_impl: str = "xla"):
+                     mlp_impl: str = "xla", val_batch: Optional[int] = None):
     """Builds the one-dispatch multi-target epoch program.
 
     Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
@@ -66,10 +66,15 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
     where corpus is (N, H, W, 1) uint8 (N = n_specimens * layers),
     y_spec (T, n_specimens) f32, proc_spec (T, n_specimens, P) f32,
     train_rows (T, rows_max) int32 corpus-row indices (pads arbitrary),
-    val_rows (T, n_val_steps * B) int32, n_train/n_val (T,) int32.
+    val_rows (T, n_val_steps * val_batch) int32, n_train/n_val (T,) int32.
     Accs are [sum_se, sum_ae, n] per epoch per target.
     """
     B = cfg.batch_size
+    # Validation is pure inference, so its batch size is a free knob: a
+    # bigger val batch means fewer steps over the 8k held-out images with
+    # identical results (the reference's fit(validation_data=...) batches
+    # are an implementation detail, not protocol).
+    VB = val_batch or B
     L = None  # layers per specimen inferred from corpus/y_spec shapes at call
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
         else jnp.float32
@@ -170,10 +175,10 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                 jnp.arange(steps_per_epoch))
 
             # --- per-epoch validation (reference: validation_data in fit)
-            vidx = val_rows.reshape(T, n_val_steps, B)
-            vpos = jnp.arange(n_val_steps * B)
+            vidx = val_rows.reshape(T, n_val_steps, VB)
+            vpos = jnp.arange(n_val_steps * VB)
             vmask = (vpos[None, :] < n_val[:, None]).astype(
-                jnp.float32).reshape(T, n_val_steps, B)
+                jnp.float32).reshape(T, n_val_steps, VB)
 
             def val_body(acc, s):
                 def per_target(p, st, rows, m, y_s, pr_s):
@@ -259,7 +264,9 @@ class MultiTargetTrainer:
         # extra_steps appends fully-masked (gated no-op) steps — used by
         # tests to prove the gating is bit-exact.
         self.steps_per_epoch = -(-self.rows_max // B) + extra_steps
-        self.n_val_steps = -(-max(n_va) // B)
+        # validation at a larger batch: fewer steps, identical metrics
+        self.val_batch = min(512, max(B, -(-max(n_va) // 4)))
+        self.n_val_steps = -(-max(n_va) // self.val_batch)
         self.y_spec = np.stack(y_spec)
         self.proc_spec = (np.stack(proc_spec)
                           if cfg.inputs != "img" else None)
@@ -275,7 +282,8 @@ class MultiTargetTrainer:
             return out
 
         self.train_rows = pad_rows(tr_rows, self.rows_max)
-        self.val_rows = pad_rows(va_rows, self.n_val_steps * B)
+        self.val_rows = pad_rows(va_rows,
+                         self.n_val_steps * self.val_batch)
 
         # stacked per-target params / state / opt (vmapped init)
         def init_one(seed):
@@ -308,7 +316,8 @@ class MultiTargetTrainer:
                              steps_per_epoch=self.steps_per_epoch,
                              rows_max=self.rows_max,
                              n_val_steps=self.n_val_steps, impl=impl,
-                             epochs_per_call=epochs_per_call, remat=remat),
+                             epochs_per_call=epochs_per_call, remat=remat,
+                             val_batch=self.val_batch),
             donate_argnums=(0, 1, 2))
         self._dev = None
 
@@ -379,7 +388,7 @@ class MultiTargetTrainer:
                     steps_per_epoch=self.steps_per_epoch,
                     rows_max=self.rows_max, n_val_steps=self.n_val_steps,
                     impl=self.impl, epochs_per_call=n_now,
-                    remat=self.remat),
+                    remat=self.remat, val_batch=self.val_batch),
                     donate_argnums=(0, 1, 2))
             else:
                 fn = self._fn
