@@ -30,30 +30,6 @@ def _sync(x):
     float(_sum(jax.tree_util.tree_leaves(x)[0]))
 
 
-def _time_fn(fn, *args, iters=20, warmup=3, vary=None):
-    """vary: index of the arg to perturb per iteration (defeats any
-    result caching for identical calls)."""
-    args = list(args)
-    variants = None
-    if vary is not None:
-        base = args[vary]
-        variants = [base + jnp.asarray(i, base.dtype) for i in range(iters)]
-        for v in variants:
-            v.block_until_ready()
-    for w in range(warmup):
-        if variants is not None:
-            args[vary] = variants[w % iters]
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        if variants is not None:
-            args[vary] = variants[i]
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def _time_scanned(fn, x, *consts, iters=50, vary_eps=1e-3):
     """Device-resident timing: run `iters` calls of fn inside ONE jitted
     fori_loop (input perturbed per iteration so no two calls see identical
