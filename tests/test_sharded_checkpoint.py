@@ -148,5 +148,5 @@ def test_vit_trainer_checkpoint_and_records(tmp_path):
     rec_path = str(tmp_path / "vit_records.xlsx")
     t2.write_records(rec_path)
     cols, rows = read_table(rec_path)
-    assert cols == ["epoch", "loss", "acc", "lr"]
+    assert cols == ["epoch", "loss", "acc", "val_loss", "val_acc", "lr"]
     assert len(rows) == 2 and rows[1][0] == 2

@@ -85,7 +85,8 @@ class ViTTrainer:
         self._fwd = jax.jit(
             lambda p, x: vit_forward(p, spec, x, train=False, impl=impl))
         self.epoch = 0
-        self.records: list = []  # [epoch, loss, acc, lr] per epoch
+        # [epoch, loss, acc, val_loss|None, val_acc|None, lr] per epoch
+        self.records: list = []
 
     def save(self, ckpt_dir: str) -> str:
         """Atomic (params, opt, epoch) checkpoint + records sidecar —
@@ -116,7 +117,8 @@ class ViTTrainer:
         """Training-curve xlsx in the reference's records schema."""
         from ..data.xlsx import write_xlsx
 
-        rows = [["epoch", "loss", "acc", "lr"]] + self.records
+        rows = [["epoch", "loss", "acc", "val_loss", "val_acc", "lr"]] \
+            + self.records
         import os
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         write_xlsx(path, {"Sheet1": rows})
@@ -152,8 +154,54 @@ class ViTTrainer:
         self.epoch = epoch + 1
         m = {"loss": float(np.mean(losses)), "acc": float(np.mean(accs)),
              "lr": lr}
-        self.records.append([epoch + 1, m["loss"], m["acc"], lr])
+        self.records.append([epoch + 1, m["loss"], m["acc"], None, None,
+                             lr])
         return m
+
+    def evaluate(self, images, labels, batch_size: Optional[int] = None):
+        """Held-out loss/accuracy (batched inference)."""
+        logits = self.predict(images, batch_size)
+        labels = np.asarray(labels).astype(np.int64)
+        per = np.asarray(softmax_xent(jnp.asarray(logits),
+                                      jnp.asarray(labels),
+                                      self.spec.num_classes,
+                                      self.cfg.label_smoothing))
+        acc = float(np.mean(np.argmax(logits, -1) == labels))
+        return {"loss": float(per.mean()), "acc": acc}
+
+    def fit(self, images, labels, epochs: int, val_images=None,
+            val_labels=None, val_split: float = 0.0,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 10, verbose: bool = True):
+        """Full orchestration: optional holdout split, per-epoch train +
+        eval records, periodic checkpoint + resume-from-latest."""
+        if val_images is None and val_split > 0.0:
+            n = len(labels)
+            n_val = max(1, int(n * val_split))
+            perm = np.asarray(jax.random.permutation(
+                jax.random.fold_in(self.shuffle_key, 0xFFFFFFFF), n))
+            val_idx, tr_idx = perm[:n_val], perm[n_val:]
+            val_images, val_labels = images[val_idx], \
+                np.asarray(labels)[val_idx]
+            images, labels = images[tr_idx], np.asarray(labels)[tr_idx]
+        if checkpoint_dir:
+            self.load(checkpoint_dir)
+        while self.epoch < epochs:
+            m = self.train_epoch(images, labels)
+            if val_images is not None:
+                vm = self.evaluate(val_images, val_labels)
+                self.records[-1][3] = vm["loss"]
+                self.records[-1][4] = vm["acc"]
+            if verbose:
+                extra = (f" val_loss {self.records[-1][3]:.4f} "
+                         f"val_acc {self.records[-1][4]:.4f}"
+                         if val_images is not None else "")
+                print(f"epoch {self.epoch}/{epochs} loss {m['loss']:.4f} "
+                      f"acc {m['acc']:.4f}{extra}", flush=True)
+            if checkpoint_dir and (self.epoch % checkpoint_every == 0
+                                   or self.epoch >= epochs):
+                self.save(checkpoint_dir)
+        return self
 
     def predict(self, images, batch_size: Optional[int] = None):
         bs = batch_size or self.cfg.batch_size
