@@ -37,7 +37,7 @@ def main():
     targets = sys.argv[3:] if len(sys.argv) > 3 else ALL_TARGETS
 
     cfg = ExperimentConfig(
-        inputs="img+par",
+        inputs=os.environ.get("TSTM_MULTI_INPUTS", "img+par"),
         frequencies=tuple(targets),
         train=TrainConfig(epochs=epochs, batch_size=128,
                           compute_dtype="bfloat16"),
