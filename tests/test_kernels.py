@@ -305,3 +305,32 @@ def test_attention_small_grad_under_vmap():
         for a, b_ in zip((gs[0][i], gs[1][i], gs[2][i]), gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-3, rtol=1e-2)
+
+
+def test_fused_mlp_train_grads_under_vmap():
+    """The multi-target trainer stacks params on a vmapped axis; the fused
+    train MLP must differentiate correctly under that transform (candidate
+    mlp_impl='pallas' for the production chunks)."""
+    key = jax.random.PRNGKey(0)
+    T, B, N, D = 3, 4, 64, 32
+    params1 = init_mlp(key, D, 4 * D)
+    stack = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * T), t)
+    paramsT = stack(params1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(T, B, N, D)),
+                    jnp.float32)
+
+    def f(p, xx):
+        return jnp.sum(mlp(p, xx, dropout_rate=0.0, train=True,
+                           rng=jax.random.PRNGKey(1), impl="pallas") ** 2)
+
+    g = jax.vmap(jax.grad(f))(paramsT, x)
+    for i in range(T):
+        ref_i = jax.grad(lambda p, xx: jnp.sum(
+            mlp(p, xx, dropout_rate=0.0, train=True,
+                rng=jax.random.PRNGKey(1), impl="xla") ** 2))(params1, x[i])
+        gi = jax.tree_util.tree_map(lambda l: l[i], g)
+        for a, b in zip(jax.tree_util.tree_leaves(gi),
+                        jax.tree_util.tree_leaves(ref_i)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=1e-2)
