@@ -29,11 +29,11 @@ def main():
                           compute_dtype="bfloat16"),
         result_dir="Result",
     )
-    from transformer_stm_tpu.train.multi import MultiTargetTrainer
+    from transformer_stm_tpu.train.multi import (MultiTargetTrainer,
+                                                  chunk_checkpoint_dir)
 
     sig = hashlib.sha1("|".join(targets).encode()).hexdigest()[:10]
-    ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
-                         f"multi_run_{sig}.ckpts")
+    ckdir = chunk_checkpoint_dir(cfg, targets)
     tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
                             impl=os.environ.get("TSTM_MULTI_IMPL", "small"))
     assert tr.load(ckdir), f"no checkpoint in {ckdir}"

@@ -52,12 +52,8 @@ def main():
     impl = os.environ.get("TSTM_MULTI_IMPL", "small")
     tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
                             epochs_per_call=epc, impl=impl)
-    # one checkpoint dir per distinct target set: chunked runs (subsets
-    # trained sequentially to bound HBM) must not resume each other's stack
-    import hashlib
-    sig = hashlib.sha1("|".join(targets).encode()).hexdigest()[:10]
-    ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
-                         f"multi_run_{sig}.ckpts")
+    from transformer_stm_tpu.train.multi import chunk_checkpoint_dir
+    ckdir = chunk_checkpoint_dir(cfg, targets)
     if tr.load(ckdir):
         print(f"resumed from {ckdir} at epoch {tr.epoch}", flush=True)
     print(f"targets={len(targets)} steps/epoch={tr.steps_per_epoch} "

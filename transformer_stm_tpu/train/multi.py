@@ -449,3 +449,15 @@ class MultiTargetTrainer:
                 print(f"exported {freq}"
                       + (f" (run {tsuf})" if tsuf else ""), flush=True)
         return outs
+
+
+def chunk_checkpoint_dir(cfg: ExperimentConfig,
+                         targets: Sequence[str]) -> str:
+    """Checkpoint dir for a chunked run, keyed by the exact target set —
+    chunks (subsets trained sequentially to bound HBM) must never resume
+    each other's stacked checkpoints."""
+    import hashlib
+
+    sig = hashlib.sha1("|".join(targets).encode()).hexdigest()[:10]
+    return os.path.join(cfg.result_dir, "Weight", cfg.variant_dir,
+                        f"multi_run_{sig}.ckpts")
