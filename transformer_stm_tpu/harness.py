@@ -77,6 +77,15 @@ def train_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
     data, train_rows, val_rows = _load_target(cfg, freq, labels, procs)
     paths = _paths(cfg, freq, time)
 
+    if time is not None:
+        # "(many)" repeat runs differ by initialisation randomness
+        # (reference: fresh Keras default init per repeat,
+        # models/CvT(Par)(many).py:501-505) — derive a per-repeat seed.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, seed=cfg.train.seed + 1000 * time))
+
     y = data["labels"]
     if cfg.inputs == "par":
         return _train_ffn(cfg, freq, data["proc_scaled"], y, train_rows,
