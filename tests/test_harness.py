@@ -111,3 +111,34 @@ def test_train_resumes_from_checkpoint(tmp_path):
     out2 = train_target(cfg, "50HZ_Bm", verbose=False)
     assert len(out2["records"]) == 2  # epochs 3-4 only
     assert out2["records"][0][0] == 3  # 1-based epoch column
+
+
+def test_repeat_runs_differ_by_seed(tmp_path):
+    """"(many)" repeats must differ by init randomness (reference trains a
+    fresh default-init model per repeat) — same repeat index reproduces,
+    different index diverges."""
+    from transformer_stm_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from transformer_stm_tpu.data.labels import LabelTable, ProcessTable
+    from transformer_stm_tpu.harness import train_target
+    from transformer_stm_tpu.train.checkpoint import (latest_checkpoint,
+                                                      load_checkpoint)
+    from transformer_stm_tpu.models.ffn import init_ffn
+
+    cfg = ExperimentConfig(
+        inputs="par", frequencies=("50HZ_Bm",),
+        train=TrainConfig(epochs=2, batch_size=64),
+        result_dir=str(tmp_path / "Result"),
+    )
+    labels = LabelTable.load(cfg.data.excel_labels)
+    procs = ProcessTable.load(cfg.data.excel_process)
+    out1 = train_target(cfg, "50HZ_Bm", labels, procs, time=1,
+                        verbose=False)
+    out2 = train_target(cfg, "50HZ_Bm", labels, procs, time=2,
+                        verbose=False)
+    w1 = latest_checkpoint(out1["paths"]["weights"])
+    w2 = latest_checkpoint(out2["paths"]["weights"])
+    assert w1 != w2  # distinct _{time} artifact paths
+    import numpy as np
+    with np.load(w1) as z1, np.load(w2) as z2:
+        k = [k for k in z1.files if k.endswith("kernel")][0]
+        assert not np.array_equal(z1[k], z2[k])
