@@ -1,0 +1,83 @@
+"""Attention implementation sweep on the real TPU: XLA vs streaming flash
+vs attention_small across the production and stretch shapes, forward and
+fwd+bwd, using tunnel-safe scanned timing (N calls inside one dispatch).
+
+Writes Result/attention_sweep.json (the data behind ops/attention's auto
+routing and DESIGN.md's kernel table).  Usage:
+python scripts/probe_attention.py [iters]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from transformer_stm_tpu.kernels.flash_attention import (
+    attention_small, flash_attention, _reference_attention)
+
+SHAPES = [
+    ("ViT-S@224 B256", (256, 197, 6, 64)),
+    ("CvT s1 B128", (128, 1024, 1, 64)),
+    ("CvT s2 B128", (128, 256, 2, 64)),
+    ("CvT s3 B128", (128, 65, 4, 64)),
+    ("hi-res 384px s1 B8", (8, 9216, 1, 64)),
+    ("4k stretch", (8, 4096, 6, 64)),
+]
+IMPLS = [("xla", lambda q, k, v: _reference_attention(q, k, v)[1]),
+         ("flash", flash_attention),
+         ("small", attention_small)]
+
+
+def timed(fn, q, k, v, iters):
+    def run(n, q, k, v):
+        def body(i, acc):
+            e = jnp.asarray(1e-3, q.dtype) * i.astype(q.dtype)
+            return acc + jnp.sum(fn(q + e, k, v).astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    r = jax.jit(run, static_argnums=0)
+    float(r(iters, q, k, v))
+    float(r(1, q, k, v))
+    t0 = time.perf_counter(); float(r(1, q, k, v))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(r(iters, q, k, v))
+    t_all = time.perf_counter() - t0
+    return (t_all - t_one) / (iters - 1)
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    out = {}
+    for name, (b, t, h, dh) in SHAPES:
+        rng = np.random.default_rng(0)
+        q, k, v = (jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.bfloat16)
+                   for _ in range(3))
+        row = {}
+        for iname, f in IMPLS:
+            try:
+                row[f"fwd_{iname}_ms"] = round(timed(f, q, k, v, iters)
+                                               * 1e3, 3)
+            except Exception as e:
+                row[f"fwd_{iname}_ms"] = f"ERR:{type(e).__name__}"
+            g = (lambda f0: lambda q, k, v: jax.grad(
+                lambda a, b_, c: jnp.sum(f0(a, b_, c).astype(jnp.float32)
+                                         ** 2), argnums=(0,))(q, k, v)[0])(f)
+            try:
+                row[f"bwd_{iname}_ms"] = round(timed(g, q, k, v, iters)
+                                               * 1e3, 3)
+            except Exception as e:
+                row[f"bwd_{iname}_ms"] = f"ERR:{type(e).__name__}"
+        out[name] = row
+        print(name, json.dumps(row), flush=True)
+    with open("Result/attention_sweep.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
