@@ -57,6 +57,24 @@ model_plot:
 bench:
 	$(PYTHON) bench.py
 
+# all 20 targets at once (vmapped multi-target trainer; chunk with a
+# target list to bound HBM, see scripts/train_all.py)
+Train_all_targets:
+	$(PYTHON) scripts/train_all.py 1000 1
+
+Train_FFN_all:
+	$(PYTHON) scripts/train_ffn_all.py 1000
+
+# "(many)" repeat-run variance studies
+Train_CvT_many:
+	$(PYTHON) scripts/train_many.py 50HZ_Bm 1000 8
+
+Train_FFN_many:
+	$(PYTHON) scripts/ffn_many.py
+
+plot_data:
+	$(CLI) plot-data --freq 50HZ_Bm
+
 test:
 	$(PYTHON) -m pytest tests/ -x -q
 
@@ -66,4 +84,5 @@ clean:
 
 .PHONY: help Pick_up_datas Train_CvT_model Train_CvT_model_images \
 	Train_FFN_model Test_CvT_model Test_CvT_model_images Test_FFN_model \
-	memory heatmap model_plot bench test clean
+	memory heatmap model_plot bench test clean Train_all_targets \
+	Train_FFN_all Train_CvT_many Train_FFN_many plot_data
