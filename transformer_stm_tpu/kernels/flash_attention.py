@@ -445,6 +445,18 @@ def _pick_hp(bh: int, per_head_bytes: int, budget: int = 8 << 20) -> int:
     return 1
 
 
+def _pick_bq(t: int, s_pad: int, n_score_bufs: int,
+             budget: int = 8 << 20) -> int:
+    """Largest q-block whose f32 score-shaped intermediates fit the VMEM
+    budget (t_pad is padded up to a multiple of bq, so any choice works)."""
+    if t <= 512:
+        return _round_up(t, 8)
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        if bq * s_pad * 4 * n_score_bufs <= budget:
+            return bq
+    return 8
+
+
 def _small_fwd_kernel(q_ref, k_ref, v_ref, o_ref, aux_ref=None, *,
                       s_real: int, scale: float, hp: int, with_lse: bool):
     for h in range(hp):
@@ -477,9 +489,9 @@ def _small_fwd_impl(q, k, v, with_lse: bool = False):
     kf = k.transpose(0, 2, 1, 3).reshape(bh, s, dh)
     vf = v.transpose(0, 2, 1, 3).reshape(bh, s, dh)
 
-    bq = 512 if t > 512 else _round_up(t, 8)
-    t_pad = _round_up(t, bq)
     s_pad = _round_up(s, 8)
+    bq = _pick_bq(t, s_pad, n_score_bufs=2)
+    t_pad = _round_up(t, bq)
     it = qf.dtype.itemsize
     per_head = (2 * s_pad * dh * it + 3 * bq * dh * 4
                 + 2 * bq * s_pad * 4)
@@ -586,9 +598,12 @@ def _small_bwd_impl(res, grad):
 
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
     t_pad = aux.shape[1]
-    bq = 512 if t > 512 else _round_up(t, 8)
     s_pad = _round_up(s, 8)
-    bk = 512 if s > 512 else s_pad
+    bq = _pick_bq(t, s_pad, n_score_bufs=4)
+    while t_pad % bq:
+        bq //= 2   # aux fixed t_pad (fwd's choice) must stay divisible
+    # dkv kernel: score blocks are (t_pad, bk) with ~4 f32 live buffers
+    bk = _pick_bq(s, t_pad, n_score_bufs=4)
     skv_pad = _round_up(s, bk)
 
     qf = jnp.pad(fold(q), ((0, 0), (0, t_pad - t), (0, 0)))
