@@ -243,3 +243,16 @@ def test_plot_data_cli(tmp_path):
     out = str(tmp_path / "od_{freq}.png")
     assert main(["plot-data", "--freq", "200HZ_Hc", "--out", out]) == 0
     assert os.path.getsize(str(tmp_path / "od_200HZ_Hc.png")) > 0
+
+
+def test_tb_export(tmp_path):
+    """Records -> TensorBoard event files (reference attaches a
+    TensorBoard callback to every fit, models/CvT(Par).py:471-476)."""
+    from transformer_stm_tpu.tools.tb_export import export_rows
+
+    rows = [[1, 0.5, 0.3, 0.6, 0.4, 1e-3], [2, 0.4, 0.25, None, None, 1e-3]]
+    logdir = export_rows(rows, str(tmp_path / "tb"))
+    events = [f for f in os.listdir(logdir)
+              if f.startswith("events.out.tfevents")]
+    assert events, "no event files written"
+    assert os.path.getsize(os.path.join(logdir, events[0])) > 0
