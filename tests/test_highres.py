@@ -23,15 +23,19 @@ def test_highres_spec_shapes():
 
 
 def test_attention_auto_gate(monkeypatch):
-    """'auto' routes to the flash kernel exactly when the score matrix
-    passes 1M entries on a TPU backend."""
+    """'auto' routing on a TPU backend (measured table,
+    Result/attention_sweep.json): whole-KV kernel above ~300k score
+    entries, streaming flash beyond the VMEM-resident KV range, XLA for
+    short sequences."""
     from transformer_stm_tpu.ops import attention as att
 
     calls = []
 
-    def fake_flash(q, k, v):
-        calls.append(q.shape)
-        return jnp.zeros_like(q)
+    def fake(name):
+        def f(q, k, v):
+            calls.append(name)
+            return jnp.zeros_like(q)
+        return f
 
     import importlib
 
@@ -39,18 +43,23 @@ def test_attention_auto_gate(monkeypatch):
     # re-exported function; fetch the real module
     fa = importlib.import_module(
         "transformer_stm_tpu.kernels.flash_attention")
-    real = fa.flash_attention
-    fa.flash_attention = fake_flash
+    real_flash, real_small = fa.flash_attention, fa.attention_small
+    fa.flash_attention = fake("flash")
+    fa.attention_small = fake("small")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     try:
         q = jnp.zeros((1, 2048, 1, 8))
-        att._attention_core(q, q, q, impl="auto")  # 4M scores -> pallas
-        assert len(calls) == 1
-        q_small = jnp.zeros((1, 512, 1, 8))
-        att._attention_core(q_small, q_small, q_small, impl="auto")  # xla
-        assert len(calls) == 1
+        att._attention_core(q, q, q, impl="auto")   # 4M entries -> small
+        assert calls == ["small"]
+        q2 = jnp.zeros((1, 512, 1, 8))
+        att._attention_core(q2, q2, q2, impl="auto")  # 262k -> xla
+        assert calls == ["small"]
+        q3 = jnp.zeros((1, 32768, 1, 8))
+        att._attention_core(q3, q3, q3, impl="auto")  # KV > VMEM -> flash
+        assert calls == ["small", "flash"]
     finally:
-        fa.flash_attention = real
+        fa.flash_attention = real_flash
+        fa.attention_small = real_small
 
 
 @pytest.mark.skipif(os.environ.get("TSTM_ON_TPU") != "1",

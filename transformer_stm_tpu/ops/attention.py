@@ -76,25 +76,25 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
     v5e: 12-layer ViT-S attention 23ms XLA vs 98ms kernel at 197 tokens).
     """
     if impl == "auto":
-        # Two reasons to take the kernel:
-        # - long sequences (strict >: the CvT's 1,024-token stage 1 stays
-        #   on XLA — full epoch timing showed XLA ~15% faster there (6.3
-        #   vs 7.4 s/epoch); the kernel's clean win starts at genuinely
-        #   long sequences — 4,096 tokens: 31x inference, O(seq) bwd);
-        # - HBM pressure: XLA materialises the f32 (B, H, T, S) scores;
-        #   past ~1 GB (e.g. the multi-target trainer's 20x128 batch at
-        #   1,024 tokens = 10.7 GB) that buffer alone ooms the chip, so
-        #   route to the kernel regardless of sequence length.
-        long_seq = q.shape[1] * k.shape[1] > 1024 * 1024
+        # Measured routing (Result/attention_sweep.json, v5e, scanned
+        # timing): attention_small beats XLA 3-4x fwd AND bwd from the
+        # CvT's 1,024-token stage up through 9,216 tokens (native-Dh
+        # whole-KV-in-VMEM beats both XLA's HBM score traffic and the
+        # streaming kernel's running-softmax overhead); below ~200k score
+        # entries/head (ViT @224 = 39k) XLA's fused path still wins the
+        # forward.  Also route to the kernel whenever the XLA f32 score
+        # buffer would be HBM-dangerous (the multi-target trainer's
+        # vmapped batches: 20x128 x 1,024 tokens = 10.7 GB).
+        entries = q.shape[1] * k.shape[1]
         h = q.shape[2]
-        score_bytes = 4 * h * q.shape[1] * k.shape[1] * q.shape[0]
+        score_bytes = 4 * h * entries * q.shape[0]
         big_scores = score_bytes > (1 << 30)
         if jax.default_backend() != "tpu":
             impl = "xla"
-        elif long_seq:
-            impl = "pallas"       # streaming flash: K/V exceed VMEM budget
-        elif big_scores:
-            impl = "small"        # scores stay in VMEM, no HBM blowup
+        elif entries > 300_000 or big_scores:
+            # whole K/V per program fits VMEM comfortably to ~16k tokens;
+            # beyond that the streaming kernel takes over
+            impl = "small" if k.shape[1] <= 16384 else "pallas"
         else:
             impl = "xla"
     if impl in ("pallas", "flash"):
