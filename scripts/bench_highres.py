@@ -94,7 +94,7 @@ def main():
            "train_img_per_s": round(train_ips, 1),
            "hbm_peak_gib": round(hbm_peak, 2),
            "tokens_stage1": (size // 4) ** 2}
-    with open("Result/highres_bench.json", "w") as f:
+    with open(f"Result/highres_bench_{size}.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

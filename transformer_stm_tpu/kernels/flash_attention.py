@@ -460,9 +460,9 @@ def _pick_bq(t: int, s_pad: int, n_score_bufs: int,
 def _small_fwd_kernel(q_ref, k_ref, v_ref, o_ref, aux_ref=None, *,
                       s_real: int, scale: float, hp: int, with_lse: bool):
     for h in range(hp):
-        q = q_ref[h].astype(jnp.float32)
-        k = k_ref[h].astype(jnp.float32)
-        v = v_ref[h].astype(jnp.float32)
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         bq = q.shape[0]
@@ -471,7 +471,8 @@ def _small_fwd_kernel(q_ref, k_ref, v_ref, o_ref, aux_ref=None, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+        o = jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32) / l
         o_ref[h] = o.astype(o_ref.dtype)
         if with_lse:
             lse = m + jnp.log(l)  # (bq, 1)
@@ -542,11 +543,11 @@ def _small_bwd_dq_kernel(q_ref, g_ref, o_ref, k_ref, v_ref, dq_ref, *,
     """dq: holds full K/V rows, so softmax is recomputed exactly in one
     pass — no aux needed.  delta = rowsum(g * o) in-register."""
     for h in range(hp):
-        q = q_ref[h].astype(jnp.float32)
-        g = g_ref[h].astype(jnp.float32)
-        o = o_ref[h].astype(jnp.float32)
-        k = k_ref[h].astype(jnp.float32)
-        v = v_ref[h].astype(jnp.float32)
+        q = q_ref[h]
+        g = g_ref[h]
+        o = o_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -554,36 +555,45 @@ def _small_bwd_dq_kernel(q_ref, g_ref, o_ref, k_ref, v_ref, dq_ref, *,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        delta = jnp.sum(g * o, axis=-1, keepdims=True)
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dq = jnp.dot(ds.astype(k.dtype), k,
+                     preferred_element_type=jnp.float32) * scale
         dq_ref[h] = dq.astype(dq_ref.dtype)
 
 
 def _small_bwd_dkv_kernel(k_ref, v_ref, q_ref, g_ref, aux_ref, dk_ref,
                           dv_ref, *, scale: float, hp: int):
-    """dk/dv: probabilities rebuilt from the forward's saved lse (lane 0)
-    with delta in lane 1.  Padded q rows are harmless: q=g=aux=0 there, so
-    p = exp(0 - 0) = 1 multiplies zero g/delta contributions."""
+    """dk/dv, computed in transposed score space (bk, t_pad): the saved
+    lse/delta live in aux SUBLANES (aux (hp, 8, t_pad); an (t_pad, 8)
+    lane layout would be tiled to 128 lanes in VMEM — a measured 16x
+    blow-up that overflowed the 16 MB scoped-vmem budget at 9k tokens),
+    and as (1, t_pad) rows they broadcast over the score block's
+    sublanes with no in-kernel transpose anywhere.  Padded q rows are
+    harmless: q=g=aux=0 there, so p = exp(0 - 0) = 1 multiplies zero
+    g/delta contributions."""
     for h in range(hp):
-        k = k_ref[h].astype(jnp.float32)
-        v = v_ref[h].astype(jnp.float32)
-        q = q_ref[h].astype(jnp.float32)
-        g = g_ref[h].astype(jnp.float32)
-        aux = aux_ref[h]                      # (t_pad, 8) f32
-        lse = aux[:, 0:1]
-        delta = aux[:, 1:2]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)                  # (t_pad, bk)
-        dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+        k = k_ref[h]
+        v = v_ref[h]
+        q = q_ref[h]
+        g = g_ref[h]
+        aux = aux_ref[h]                      # (8, t_pad) f32
+        lse = aux[0:1, :]                     # (1, t_pad) row
+        delta = aux[1:2, :]
+        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)             * scale                           # (bk, t_pad)
+        p_t = jnp.exp(s_t - lse)
+        dv = jax.lax.dot_general(p_t.astype(g.dtype), g,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dp_t = jax.lax.dot_general(v, g, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta)
+        dk = jax.lax.dot_general(ds_t.astype(q.dtype), q,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         dk_ref[h] = dk.astype(dk_ref.dtype)
         dv_ref[h] = dv.astype(dv_ref.dtype)
@@ -599,11 +609,15 @@ def _small_bwd_impl(res, grad):
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(bh, x.shape[1], dh)
     t_pad = aux.shape[1]
     s_pad = _round_up(s, 8)
-    bq = _pick_bq(t, s_pad, n_score_bufs=4)
+    # tighter budget than the fwd: the bwd kernels also hold full-side
+    # rows (q/g[/o]) double-buffered plus 3-4 live f32 score-shaped
+    # buffers, and Mosaic's scoped-vmem stack accounting (16 MB) charges
+    # all of it (measured: 8 MB budget -> 18.06M scoped at 9,216 tokens)
+    bq = _pick_bq(t, s_pad, n_score_bufs=4, budget=3 << 20)
     while t_pad % bq:
         bq //= 2   # aux fixed t_pad (fwd's choice) must stay divisible
     # dkv kernel: score blocks are (t_pad, bk) with ~4 f32 live buffers
-    bk = _pick_bq(s, t_pad, n_score_bufs=4)
+    bk = _pick_bq(s, t_pad, n_score_bufs=4, budget=3 << 20)
     skv_pad = _round_up(s, bk)
 
     qf = jnp.pad(fold(q), ((0, 0), (0, t_pad - t), (0, 0)))
@@ -618,6 +632,9 @@ def _small_bwd_impl(res, grad):
                     axis=-1, keepdims=True)                 # (BH, t_pad, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
     aux = aux + jnp.where(lane == 1, delta, 0.0)
+    # sublane-major for the dkv kernel: (BH, 8, t_pad) costs 8 real
+    # sublanes in VMEM where (t_pad, 8) would tile to 128 lanes (16x)
+    aux_t = aux.transpose(0, 2, 1)
 
     it = qf.dtype.itemsize
     hp_q = _pick_hp(bh, 2 * s_pad * dh * it + 4 * bq * dh * 4
@@ -665,7 +682,7 @@ def _small_bwd_impl(res, grad):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hp_k, t_pad, dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp_k, t_pad, 8), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((hp_k, 8, t_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -684,7 +701,7 @@ def _small_bwd_impl(res, grad):
             transcendentals=bh * t * s,
         ),
         interpret=_INTERPRET,
-    )(kq, vq, qf, gf, aux)
+    )(kq, vq, qf, gf, aux_t)
 
     unfold = lambda x, n: x[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
     return (unfold(dq, t).astype(q.dtype), unfold(dk, s).astype(k.dtype),
