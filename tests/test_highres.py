@@ -54,7 +54,7 @@ def test_attention_auto_gate(monkeypatch):
         q2 = jnp.zeros((1, 512, 1, 8))
         att._attention_core(q2, q2, q2, impl="auto")  # 262k -> xla
         assert calls == ["small"]
-        q3 = jnp.zeros((1, 32768, 1, 8))
+        q3 = jnp.zeros((1, 16384, 1, 8))
         att._attention_core(q3, q3, q3, impl="auto")  # KV > VMEM -> flash
         assert calls == ["small", "flash"]
     finally:

@@ -491,7 +491,10 @@ def _small_fwd_impl(q, k, v, with_lse: bool = False):
     vf = v.transpose(0, 2, 1, 3).reshape(bh, s, dh)
 
     s_pad = _round_up(s, 8)
-    bq = _pick_bq(t, s_pad, n_score_bufs=2)
+    # 4 MB block budget: at the 16k-token routing cap the full K/V windows
+    # already cost ~8.4 MB double-buffered, and the 512px train config
+    # measured 16.03M/16M scoped vmem with an 8 MB budget
+    bq = _pick_bq(t, s_pad, n_score_bufs=4, budget=4 << 20)
     t_pad = _round_up(t, bq)
     it = qf.dtype.itemsize
     per_head = (2 * s_pad * dh * it + 3 * bq * dh * 4

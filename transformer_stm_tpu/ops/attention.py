@@ -92,9 +92,11 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
         if jax.default_backend() != "tpu":
             impl = "xla"
         elif entries > 300_000 or big_scores:
-            # whole K/V per program fits VMEM comfortably to ~16k tokens;
-            # beyond that the streaming kernel takes over
-            impl = "small" if k.shape[1] <= 16384 else "pallas"
+            # whole K/V per program fits VMEM to ~9k tokens (the 16k
+            # train config measured 16.01M/16M scoped vmem — the
+            # double-buffered K/V windows are the floor); beyond that the
+            # streaming kernel takes over
+            impl = "small" if k.shape[1] < 16384 else "pallas"
         else:
             impl = "xla"
     if impl in ("pallas", "flash"):
