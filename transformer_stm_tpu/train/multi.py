@@ -214,7 +214,8 @@ class MultiTargetTrainer:
                  targets: Sequence[Tuple[str, int, Optional[int]]],
                  impl: str = "auto", epochs_per_call: int = 1,
                  corpus: Optional[np.ndarray] = None,
-                 extra_steps: int = 0, remat: bool = True):
+                 extra_steps: int = 0, remat: bool = True,
+                 mlp_impl: str = "xla"):
         from ..data.images import decode_corpus
         from ..data.labels import (LabelTable, ProcessTable,
                                    build_target_arrays)
@@ -311,13 +312,14 @@ class MultiTargetTrainer:
 
         self.epochs_per_call = epochs_per_call
         self.remat = remat
+        self.mlp_impl = mlp_impl
         self._fn = jax.jit(
             make_multi_epoch(self.spec, tc,
                              steps_per_epoch=self.steps_per_epoch,
                              rows_max=self.rows_max,
                              n_val_steps=self.n_val_steps, impl=impl,
                              epochs_per_call=epochs_per_call, remat=remat,
-                             val_batch=self.val_batch),
+                             val_batch=self.val_batch, mlp_impl=mlp_impl),
             donate_argnums=(0, 1, 2))
         self._dev = None
 
@@ -388,7 +390,8 @@ class MultiTargetTrainer:
                     steps_per_epoch=self.steps_per_epoch,
                     rows_max=self.rows_max, n_val_steps=self.n_val_steps,
                     impl=self.impl, epochs_per_call=n_now,
-                    remat=self.remat, val_batch=self.val_batch),
+                    remat=self.remat, val_batch=self.val_batch,
+                    mlp_impl=self.mlp_impl),
                     donate_argnums=(0, 1, 2))
             else:
                 fn = self._fn
