@@ -50,8 +50,10 @@ def main():
     # so pick the attention impl explicitly: the whole-KV-in-VMEM kernel
     # never materialises the (T*B, H, S, S) scores that OOM the chip.
     impl = os.environ.get("TSTM_MULTI_IMPL", "small")
+    mlp_impl = os.environ.get("TSTM_MULTI_MLP", "pallas")
     tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
-                            epochs_per_call=epc, impl=impl)
+                            epochs_per_call=epc, impl=impl,
+                            mlp_impl=mlp_impl)
     from transformer_stm_tpu.train.multi import chunk_checkpoint_dir
     ckdir = chunk_checkpoint_dir(cfg, targets)
     if tr.load(ckdir):

@@ -46,8 +46,10 @@ def main():
 
     targets = [(freq, 1000 + t, t) for t in range(1, repeats + 1)]
     impl = os.environ.get("TSTM_MULTI_IMPL", "small")
+    mlp_impl = os.environ.get("TSTM_MULTI_MLP", "pallas")
     t0 = _time.time()
-    tr = MultiTargetTrainer(cfg, targets, epochs_per_call=10, impl=impl)
+    tr = MultiTargetTrainer(cfg, targets, epochs_per_call=10, impl=impl,
+                            mlp_impl=mlp_impl)
     ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
                          f"many_{freq}.ckpts")
     if tr.load(ckdir):

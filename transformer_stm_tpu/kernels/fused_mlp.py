@@ -117,7 +117,9 @@ def fused_mlp(x, w1, b1, w2, b2):
 # The backward recomputes the hidden activation and the dropout masks
 # instead of stashing them, so the (N, 4D) intermediate never touches HBM in
 # either direction.  Dropout masks come from the TPU core PRNG
-# (pltpu.prng_seed / prng_random_bits), re-seeded identically in fwd and bwd
+# (pltpu.prng_seed / prng_random_bits — Mosaic accepts at most two seed
+# words, so the grid position is folded into the first), re-seeded
+# identically in fwd and bwd
 # — deterministic given (seed, grid position).  The mask *stream* therefore
 # differs from the jax.random-based XLA path (equally-distributed Bernoulli;
 # the reference's TF dropout stream differs from both, so parity is defined
@@ -145,7 +147,8 @@ def _keep_mask(bits, rate: float):
 def _mlp_train_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                           o_ref, *, rate: float):
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] * jnp.int32(-1640531535)  # 2654435761 as i32
+                        + pl.program_id(0), seed_ref[0, 1])
     x = x_ref[:].astype(jnp.float32)
     a = jnp.dot(x, w1_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b1_ref[:]
@@ -166,7 +169,8 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     across the (sequential) grid."""
     if rate > 0.0:
         # identical seeding + draw order as the forward kernel
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] * jnp.int32(-1640531535)  # 2654435761 as i32
+                        + pl.program_id(0), seed_ref[0, 1])
     x = x_ref[:].astype(jnp.float32)
     w1 = w1_ref[:].astype(jnp.float32)
     w2 = w2_ref[:].astype(jnp.float32)
@@ -263,7 +267,11 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
             functools.partial(_mlp_train_fwd_kernel, rate=rate),
             grid=(n_pad // bn,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                # explicit (1, 2) SMEM block: a default/1-D spec breaks
+                # under vmap (the batched block arrives as (Squeezed(), 2)
+                # over a (V, 2) array and fails the tiling rule)
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
@@ -284,7 +292,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 transcendentals=2 * n * hd,
             ),
             interpret=interp,
-        )(seed, xf, w1p, b1p, w2p, b2p)
+        )(seed.reshape(1, 2), xf, w1p, b1p, w2p, b2p)
         return (y[:n, :out].reshape(*x.shape[:-1], out),
                 (x, w1, b1, w2, b2, seed))
 
@@ -322,7 +330,8 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
             functools.partial(_mlp_train_bwd_kernel, rate=rate),
             grid=(n_pad // bn,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
@@ -360,7 +369,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 transcendentals=2 * n * hd,
             ),
             interpret=interp,
-        )(seed, xf, gf, w1p, b1p, w2p)
+        )(seed.reshape(1, 2), xf, gf, w1p, b1p, w2p)
         return (dx[:n, :d].reshape(x.shape),
                 dw1[:d, :hd].astype(w1.dtype),
                 db1[0, :hd].astype(b1.dtype),
