@@ -9,6 +9,7 @@ Supplementary numbers (CvT-128 inference, CvT train step) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -171,7 +172,47 @@ def bench_cvt_train_step(batch=128):
     return batch / dt
 
 
+def _pause_competing_training():
+    """The accuracy runs train for hours in the background (supervised
+    scripts/train_all.py); benchmarking while they time-share the chip
+    poisons both.  Suspend exactly that process (argv-matched — never
+    pattern matching, which could hit this session itself) for the bench
+    and resume it on exit."""
+    import atexit
+    import signal
+
+    paused = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        if (len(argv) >= 2 and b"python" in argv[0]
+                and argv[1].endswith(b"scripts/train_all.py")):
+            try:
+                os.kill(int(pid), signal.SIGSTOP)
+                paused.append(int(pid))
+            except OSError:
+                pass
+    if paused:
+        print(f"# paused training pid(s) {paused} for the bench",
+              file=sys.stderr)
+
+        def _resume():
+            for p in paused:
+                try:
+                    os.kill(p, signal.SIGCONT)
+                except OSError:
+                    pass
+        atexit.register(_resume)
+    return paused
+
+
 def main():
+    _pause_competing_training()
     backend = jax.default_backend()
     vit_ips = bench_vit_inference()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
