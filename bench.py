@@ -207,7 +207,23 @@ def _pause_competing_training():
                     os.kill(p, signal.SIGCONT)
                 except OSError:
                     pass
+
+        # atexit alone does not run on SIGTERM/SIGINT-default — a killed
+        # bench would leave the multi-hour training frozen in T-state
+        # (advisor r2).  Resume on those signals too, then re-raise the
+        # default behaviour.  (supervise_train_all.sh additionally
+        # SIGCONTs a stopped trainer on its retry loop as a last resort.)
+        def _on_signal(signum, frame):
+            _resume()
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
+
         atexit.register(_resume)
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+            try:
+                signal.signal(sig, _on_signal)
+            except (ValueError, OSError):
+                pass
     return paused
 
 

@@ -32,9 +32,20 @@ def main():
     from transformer_stm_tpu.train.multi import (MultiTargetTrainer,
                                                   chunk_checkpoint_dir)
 
+    # same per-slot seed scheme + checkpoint key as scripts/train_all.py
+    seed_env = os.environ.get("TSTM_MULTI_SEED", "")
+    base_seed, overrides = cfg.train.seed, {}
+    if seed_env:
+        if "=" in seed_env:
+            for part in seed_env.split(","):
+                f, s = part.split("=")
+                overrides[f.strip()] = int(s)
+        else:
+            base_seed = int(seed_env)
+    slots = [(f, overrides.get(f, base_seed), None) for f in targets]
     sig = hashlib.sha1("|".join(targets).encode()).hexdigest()[:10]
-    ckdir = chunk_checkpoint_dir(cfg, targets)
-    tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
+    ckdir = chunk_checkpoint_dir(cfg, [f"{f}#{s}" for f, s, _ in slots])
+    tr = MultiTargetTrainer(cfg, slots,
                             impl=os.environ.get("TSTM_MULTI_IMPL", "small"))
     assert tr.load(ckdir), f"no checkpoint in {ckdir}"
     print(f"loaded epoch {tr.epoch} from {ckdir}", flush=True)

@@ -7,6 +7,20 @@ EPC=${2:-10}
 LOG=${3:-/tmp/train_all.log}
 shift 3 || true
 TARGETS="$@"
+# Watchdog: bench.py SIGSTOPs the trainer for clean measurements and
+# resumes it via atexit/signal handlers — but a SIGKILLed bench can't.
+# SIGCONT any T-state trainer every 5 min as a last resort (SIGCONT on a
+# running process is a no-op, so this is always safe).
+(
+  while true; do
+    sleep 300
+    for pid in $(ps -eo pid=,stat=,args= | awk '$2 ~ /^T/ && /scripts\/train_all\.py/ {print $1}'); do
+      kill -CONT "$pid" 2>/dev/null && echo "watchdog: SIGCONT $pid" >> "$LOG"
+    done
+  done
+) &
+WATCHDOG=$!
+trap 'kill $WATCHDOG 2>/dev/null' EXIT
 for i in $(seq 1 200); do
   echo "=== supervisor attempt $i $(date +%H:%M:%S) ===" >> "$LOG"
   python scripts/train_all.py "$EPOCHS" "$EPC" $TARGETS >> "$LOG" 2>&1

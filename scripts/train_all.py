@@ -17,13 +17,7 @@ import time
 
 sys.path.insert(0, ".")
 
-import jax
-
-# TPU-native hardware RNG for dropout/shuffle streams: the default threefry
-# spends ~10% of the profiled epoch generating mask bits on the VPU
-# (maximum_compare fusions over u32 threefry outputs); RngBitGenerator is
-# near-free and statistically fine for dropout/shuffling.
-jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+import jax  # noqa: F401  (backend init order)
 
 from transformer_stm_tpu.config import ExperimentConfig, TrainConfig
 
@@ -43,6 +37,10 @@ def main():
                           compute_dtype="bfloat16"),
         result_dir="Result",
     )
+    # TrainConfig.prng_impl defaults to the TPU hardware RNG (unsafe_rbg)
+    # — threefry mask-gen cost ~10% of a profiled epoch; the choice is
+    # recorded in the config so checkpoints capture it.
+    cfg.train.apply_prng_impl()
 
     from transformer_stm_tpu.train.multi import MultiTargetTrainer
     t0 = time.time()
@@ -51,11 +49,26 @@ def main():
     # never materialises the (T*B, H, S, S) scores that OOM the chip.
     impl = os.environ.get("TSTM_MULTI_IMPL", "small")
     mlp_impl = os.environ.get("TSTM_MULTI_MLP", "pallas")
-    tr = MultiTargetTrainer(cfg, [(f, cfg.train.seed, None) for f in targets],
-                            epochs_per_call=epc, impl=impl,
+    # Per-slot init seeds: TSTM_MULTI_SEED is either one int (all slots) or
+    # comma-separated freq=seed overrides ("50HZ_Hc=7").  Used to reseed a
+    # target that landed in a bad local optimum (the trainings are
+    # multi-modal — see the (many) variance study in RESULTS.md).
+    seed_env = os.environ.get("TSTM_MULTI_SEED", "")
+    base_seed, overrides = cfg.train.seed, {}
+    if seed_env:
+        if "=" in seed_env:
+            for part in seed_env.split(","):
+                f, s = part.split("=")
+                overrides[f.strip()] = int(s)
+        else:
+            base_seed = int(seed_env)
+    slots = [(f, overrides.get(f, base_seed), None) for f in targets]
+    tr = MultiTargetTrainer(cfg, slots, epochs_per_call=epc, impl=impl,
                             mlp_impl=mlp_impl)
     from transformer_stm_tpu.train.multi import chunk_checkpoint_dir
-    ckdir = chunk_checkpoint_dir(cfg, targets)
+    # seed is part of the checkpoint key: a reseeded rerun must never
+    # resume the old bad-optimum checkpoint (VERDICT r2 weak #3)
+    ckdir = chunk_checkpoint_dir(cfg, [f"{f}#{s}" for f, s, _ in slots])
     if tr.load(ckdir):
         print(f"resumed from {ckdir} at epoch {tr.epoch}", flush=True)
     print(f"targets={len(targets)} steps/epoch={tr.steps_per_epoch} "

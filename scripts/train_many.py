@@ -19,13 +19,7 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-import jax
-
-# TPU-native hardware RNG for dropout/shuffle streams: the default threefry
-# spends ~10% of the profiled epoch generating mask bits on the VPU
-# (maximum_compare fusions over u32 threefry outputs); RngBitGenerator is
-# near-free and statistically fine for dropout/shuffling.
-jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+import jax  # noqa: F401  (backend init order)
 
 from transformer_stm_tpu.config import ExperimentConfig, TrainConfig
 
@@ -42,6 +36,10 @@ def main():
                           compute_dtype="bfloat16"),
         result_dir="Result",
     )
+    # TrainConfig.prng_impl defaults to the TPU hardware RNG (unsafe_rbg)
+    # — threefry mask-gen cost ~10% of a profiled epoch; the choice is
+    # recorded in the config so checkpoints capture it.
+    cfg.train.apply_prng_impl()
     from transformer_stm_tpu.train.multi import MultiTargetTrainer
 
     targets = [(freq, 1000 + t, t) for t in range(1, repeats + 1)]

@@ -58,3 +58,21 @@ def test_variant_dirs():
         "Images & Parameters"
     assert ExperimentConfig(inputs="img").variant_dir == "Images"
     assert ExperimentConfig(inputs="par").variant_dir == "Parameters"
+
+
+def test_prng_impl_knob():
+    """TrainConfig.prng_impl is recorded in the config (so checkpoints and
+    the (many) determinism story capture the RNG choice) and
+    apply_prng_impl() sets the global jax flag."""
+    import jax
+
+    from transformer_stm_tpu.config import TrainConfig
+
+    prev = jax.config.jax_default_prng_impl
+    try:
+        TrainConfig(prng_impl="threefry2x32").apply_prng_impl()
+        assert jax.config.jax_default_prng_impl == "threefry2x32"
+        TrainConfig().apply_prng_impl()   # production default
+        assert jax.config.jax_default_prng_impl == "unsafe_rbg"
+    finally:
+        jax.config.update("jax_default_prng_impl", prev)

@@ -309,10 +309,14 @@ def test_attention_small_grad_under_vmap():
 
 def test_fused_mlp_train_grads_under_vmap():
     """The multi-target trainer stacks params on a vmapped axis; the fused
-    train MLP must differentiate correctly under that transform (candidate
-    mlp_impl='pallas' for the production chunks)."""
+    train MLP must differentiate correctly under that transform (production
+    mlp_impl='pallas').  N is chosen so each slot spans MULTIPLE 256-row
+    token blocks: with per-block weight-grad slots the result must be exact
+    regardless of vmap's prepended grid axis (the old accumulate-with-
+    program_id(0)-init design was wrong for every slot in this regime —
+    advisor r2 high finding)."""
     key = jax.random.PRNGKey(0)
-    T, B, N, D = 3, 4, 64, 32
+    T, B, N, D = 3, 4, 200, 32   # B*N = 800 rows -> 4 blocks of 256
     params1 = init_mlp(key, D, 4 * D)
     stack = lambda t: jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * T), t)
@@ -334,3 +338,71 @@ def test_fused_mlp_train_grads_under_vmap():
                         jax.tree_util.tree_leaves(ref_i)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=1e-2)
+
+
+def test_fused_mlp_train_grads_multiblock():
+    """Unbatched multi-block (n > 256) weight grads: every token block must
+    contribute exactly once (per-block grad slots summed outside the
+    kernel)."""
+    from transformer_stm_tpu.kernels.fused_mlp import (
+        _gelu_exact, make_fused_mlp_train)
+
+    rng = np.random.default_rng(3)
+    n, d, hd = 700, 48, 96       # 3 blocks of 256 (padded)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, hd)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((hd,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hd, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    seed = jnp.zeros((2,), jnp.int32)
+    f = make_fused_mlp_train(0.0)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(f(x, w1, b1, w2, b2, seed) * g)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        h = _gelu_exact(x @ w1 + b1)
+        return jnp.sum((h @ w2 + b2) * g)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_mlp_train_dropout_requires_rng():
+    """train=True + dropout>0 + rng=None must raise (not silently reuse a
+    constant all-zero dropout seed) on both impls."""
+    params = init_mlp(jax.random.PRNGKey(0), 16, 64)
+    x = jnp.ones((2, 8, 16), jnp.float32)
+    for impl in ("pallas", "xla"):
+        with pytest.raises(ValueError):
+            mlp(params, x, dropout_rate=0.1, train=True, rng=None,
+                impl=impl)
+
+
+def test_flash_bwd_dispatches_to_xla_beyond_vmem_budget(monkeypatch):
+    """At 16k+ tokens (the 512px streaming config) the in-VMEM-sliced
+    Pallas backward cannot fit its resident K/V / Q/G blocks in scoped
+    VMEM; _bwd must dispatch to the blockwise XLA scan there and keep the
+    Pallas pair below the budget."""
+    import importlib
+    fa = importlib.import_module(
+        "transformer_stm_tpu.kernels.flash_attention")
+
+    calls = []
+    monkeypatch.setattr(fa, "_bwd_xla", lambda res, g: calls.append("xla"))
+    monkeypatch.setattr(fa, "_bwd_pallas",
+                        lambda res, g: calls.append("pallas"))
+
+    def res_for(t, s, dh=64):
+        q = jnp.zeros((1, t, 1, dh), jnp.bfloat16)
+        k = jnp.zeros((1, s, 1, dh), jnp.bfloat16)
+        return (q, k, None, None, None)
+
+    fa._bwd(res_for(16384, 16384), None)
+    fa._bwd(res_for(1024, 1024), None)
+    fa._bwd(res_for(1024, 16384), None)   # long-KV side alone must trip it
+    assert calls == ["xla", "pallas", "xla"]

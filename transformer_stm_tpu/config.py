@@ -159,6 +159,22 @@ class TrainConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16
     checkpoint_every: int = 0  # epochs between mid-run checkpoints; 0 = off
     repeats: int = 1  # "(many)" repeat-run mode (reference CvT(Par)(many).py)
+    # jax PRNG implementation for dropout/shuffle streams.  Production runs
+    # use 'unsafe_rbg' (TPU RngBitGenerator): threefry mask generation cost
+    # ~10% of a profiled multi-target epoch on the VPU, and dropout/shuffle
+    # only need equidistribution, not cryptographic splitting.  Recorded
+    # here (not just in scripts) so checkpoints/configs capture the choice
+    # the determinism story depends on.  'threefry2x32' restores the jax
+    # default.
+    prng_impl: str = "unsafe_rbg"
+
+    def apply_prng_impl(self):
+        """Set the global jax PRNG implementation to this config's choice —
+        call before building any PRNG keys (training scripts do this right
+        after constructing their config)."""
+        import jax
+
+        jax.config.update("jax_default_prng_impl", self.prng_impl)
 
 
 @dataclass(frozen=True)

@@ -410,8 +410,25 @@ def _bwd_xla(res, g):
 def _bwd(res, g):
     """Backward dispatch: the fully-blocked Pallas kernel pair by default;
     TSTM_FLASH_BWD=xla selects the einsum-scan fallback (kept for
-    A/B numerics and perf comparison)."""
-    if os.environ.get("TSTM_FLASH_BWD", "pallas") == "xla":
+    A/B numerics and perf comparison).
+
+    The Pallas pair keeps whole padded K/V resident per dq program and
+    whole Q/G + aux per dkv program — that in-VMEM slicing stops fitting
+    the ~16 MiB scoped-VMEM budget near 12k tokens (advisor r2: at the
+    16k-token 512px config the dkv kernel needs 4+4+8.4 MiB of resident
+    blocks before outputs/double-buffering).  Beyond the budget we dispatch
+    to the blockwise XLA scan, which is O(T * block) and always compiles —
+    so training the streaming-forward configs keeps a working backward.
+    """
+    q, k, _, _, _ = res
+    t, s, dh = q.shape[1], k.shape[1], q.shape[3]
+    dh_pad = _round_up(dh + 2, 128)
+    # resident f32 bytes of the larger kernel of the pair (K+V for dq,
+    # Q+G+aux for dkv), excluding the small blocked refs
+    resident = max(2 * _round_up(s, 128), 3 * _round_up(t, 128)) \
+        * dh_pad * 4
+    if os.environ.get("TSTM_FLASH_BWD", "pallas") == "xla" \
+            or resident > 12 * 1024 * 1024:
         return _bwd_xla(res, g)
     return _bwd_pallas(res, g)
 

@@ -117,15 +117,29 @@ def fused_mlp(x, w1, b1, w2, b2):
 # The backward recomputes the hidden activation and the dropout masks
 # instead of stashing them, so the (N, 4D) intermediate never touches HBM in
 # either direction.  Dropout masks come from the TPU core PRNG
-# (pltpu.prng_seed / prng_random_bits — Mosaic accepts at most two seed
-# words, so the grid position is folded into the first), re-seeded
-# identically in fwd and bwd
-# — deterministic given (seed, grid position).  The mask *stream* therefore
+# (pltpu.prng_seed / prng_random_bits).  Each token block reads its own
+# (2,)-word seed from an (n_blocks, 2) SMEM input indexed by the *block*
+# grid axis — NOT from pl.program_id, which under jax.vmap would name the
+# prepended batch axis (the multi-target trainer's target slot) instead of
+# the token block: with program_id-derived seeds every token block of one
+# call would reuse one mask (block-periodic dropout, advisor r2 finding).
+# fwd and bwd rebuild the identical seed table from the saved (2,) seed, so
+# masks agree — deterministic given (seed, block index).  The mask *stream*
 # differs from the jax.random-based XLA path (equally-distributed Bernoulli;
 # the reference's TF dropout stream differs from both, so parity is defined
 # distribution-wise, not bitwise).  On CPU (interpret mode) an XLA fallback
 # with jax.random masks implements the same custom_vjp formulas — that path
 # is what the gradient tests validate.
+#
+# Weight/bias grads are written PER BLOCK to (n_blocks, ...) outputs and
+# summed outside the kernel.  The previous design accumulated them across
+# the sequential grid with a zero-init gated on pl.program_id(0) == 0;
+# under vmap that predicate again tests the batch axis, so slot 0 re-zeroed
+# at every token block and slots >= 1 never initialised at all (advisor r2
+# high-severity finding).  Per-block outputs have no revisit/init semantics
+# and are correct under any vmap nesting; the extra HBM round-trip of the
+# (n_blocks, D, 4D) partials costs ~0.7 ms per stage-1 CvT backward —
+# a few percent of the step, kept for correctness.
 
 _SQRT1_2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
@@ -139,7 +153,16 @@ def _gelu_grad_exact(a):
 
 
 def _keep_mask(bits, rate: float):
-    """uint32 random bits -> keep mask scaled by 1/(1-rate)."""
+    """Random bits -> keep mask scaled by 1/(1-rate).
+
+    Mosaic's prng_random_bits yields SIGNED int32; comparing that against a
+    uint32 threshold promotes the threshold to a negative int32 for any
+    rate >= 0.5 — and mixed promotion is unreliable below that too — so the
+    comparison must be forced into the uint32 domain (int32 -> uint32
+    astype is a two's-complement reinterpret, exactly what we want).  The
+    unconverted form made the mask all-keep on hardware: dropout silently
+    became a deterministic 1/(1-rate) gain."""
+    bits = bits.astype(jnp.uint32)
     thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     return (bits >= thresh).astype(jnp.float32) / (1.0 - rate)
 
@@ -147,8 +170,9 @@ def _keep_mask(bits, rate: float):
 def _mlp_train_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                           o_ref, *, rate: float):
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0, 0] * jnp.int32(-1640531535)  # 2654435761 as i32
-                        + pl.program_id(0), seed_ref[0, 1])
+        # per-block seed row (see module docstring: program_id is unsafe
+        # under vmap)
+        pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
     x = x_ref[:].astype(jnp.float32)
     a = jnp.dot(x, w1_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b1_ref[:]
@@ -165,12 +189,12 @@ def _mlp_train_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _mlp_train_bwd_kernel(seed_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
                           dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
                           rate: float):
-    """Recompute + grads for one token block; weight/bias grads accumulate
-    across the (sequential) grid."""
+    """Recompute + grads for one token block; weight/bias grads go to
+    per-block output slots (summed by the caller — vmap-safe, no
+    cross-iteration accumulator state)."""
     if rate > 0.0:
-        # identical seeding + draw order as the forward kernel
-        pltpu.prng_seed(seed_ref[0, 0] * jnp.int32(-1640531535)  # 2654435761 as i32
-                        + pl.program_id(0), seed_ref[0, 1])
+        # identical per-block seed row + draw order as the forward kernel
+        pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
     x = x_ref[:].astype(jnp.float32)
     w1 = w1_ref[:].astype(jnp.float32)
     w2 = w2_ref[:].astype(jnp.float32)
@@ -191,17 +215,12 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
                         preferred_element_type=jnp.float32).astype(
                             dx_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-
-    dw1_ref[:] += jnp.dot(x.T, da, preferred_element_type=jnp.float32)
-    db1_ref[:] += jnp.sum(da, axis=0, keepdims=True)
-    dw2_ref[:] += jnp.dot(h.T, g, preferred_element_type=jnp.float32)
-    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    dw1_ref[:] = jnp.dot(x.T, da,
+                         preferred_element_type=jnp.float32)[None]
+    db1_ref[:] = jnp.sum(da, axis=0, keepdims=True)[None]
+    dw2_ref[:] = jnp.dot(h.T, g,
+                         preferred_element_type=jnp.float32)[None]
+    db2_ref[:] = jnp.sum(g, axis=0, keepdims=True)[None]
 
 
 def _train_dims(x, w1, w2):
@@ -214,6 +233,19 @@ def _train_dims(x, w1, w2):
     bn = 256 if n >= 256 else _round_up(max(n, 8), 8)
     return (n, d, hd, out, bn, _round_up(n, bn), _round_up(d, 128),
             _round_up(hd, 128), _round_up(out, 128))
+
+
+def _seed_table(seed, n_blocks: int):
+    """(2,) int32 -> (n_blocks, 1, 2) per-block PRNG seed rows.  Word 0 mixes
+    the block index with a golden-ratio multiply (int32 wraparound is fine —
+    rows only need to be distinct), word 1 passes through."""
+    s0 = (seed[0] * jnp.int32(-1640531535)  # 2654435761 as i32
+          + jnp.arange(n_blocks, dtype=jnp.int32))
+    s1 = jnp.broadcast_to(seed[1], (n_blocks,)).astype(jnp.int32)
+    # (nb, 1, 2): a (1, 1, 2) block's last-two dims equal the array's, the
+    # only layout Mosaic accepts for tiny SMEM blocks (also under vmap's
+    # prepended batch axis)
+    return jnp.stack([s0, s1], axis=1).reshape(n_blocks, 1, 2)
 
 
 def _fallback_masks(seed, shape1, shape2, rate: float):
@@ -267,10 +299,9 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
             functools.partial(_mlp_train_fwd_kernel, rate=rate),
             grid=(n_pad // bn,),
             in_specs=[
-                # explicit (1, 2) SMEM block: a default/1-D spec breaks
-                # under vmap (the batched block arrives as (Squeezed(), 2)
-                # over a (V, 2) array and fails the tiling rule)
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                # (1, 1, 2) SMEM seed block indexed by the token-block
+                # axis; see _seed_table for the layout rationale
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -292,7 +323,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 transcendentals=2 * n * hd,
             ),
             interpret=interp,
-        )(seed.reshape(1, 2), xf, w1p, b1p, w2p, b2p)
+        )(_seed_table(seed, n_pad // bn), xf, w1p, b1p, w2p, b2p)
         return (y[:n, :out].reshape(*x.shape[:-1], out),
                 (x, w1, b1, w2, b2, seed))
 
@@ -326,11 +357,12 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
         b1p = jnp.pad(b1.astype(jnp.float32),
                       (0, hd_pad - hd)).reshape(1, hd_pad)
         w2p = jnp.pad(w2, ((0, hd_pad - hd), (0, out_pad - out)))
+        nb = n_pad // bn
         dx, dw1, db1, dw2, db2 = pl.pallas_call(
             functools.partial(_mlp_train_bwd_kernel, rate=rate),
-            grid=(n_pad // bn,),
+            grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -346,21 +378,23 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
             out_specs=[
                 pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
+                # per-block weight/bias grad slots (summed below):
+                # no revisit accumulation -> correct under vmap
+                pl.BlockSpec((1, d_pad, hd_pad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hd_pad), lambda i: (0, 0),
+                pl.BlockSpec((1, 1, hd_pad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hd_pad, out_pad), lambda i: (0, 0),
+                pl.BlockSpec((1, hd_pad, out_pad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, out_pad), lambda i: (0, 0),
+                pl.BlockSpec((1, 1, out_pad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, d_pad), x.dtype),
-                jax.ShapeDtypeStruct((d_pad, hd_pad), jnp.float32),
-                jax.ShapeDtypeStruct((1, hd_pad), jnp.float32),
-                jax.ShapeDtypeStruct((hd_pad, out_pad), jnp.float32),
-                jax.ShapeDtypeStruct((1, out_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb, d_pad, hd_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, hd_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb, hd_pad, out_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, out_pad), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=6 * n * (d * hd + hd * out),
@@ -369,12 +403,12 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 transcendentals=2 * n * hd,
             ),
             interpret=interp,
-        )(seed.reshape(1, 2), xf, gf, w1p, b1p, w2p)
+        )(_seed_table(seed, nb), xf, gf, w1p, b1p, w2p)
         return (dx[:n, :d].reshape(x.shape),
-                dw1[:d, :hd].astype(w1.dtype),
-                db1[0, :hd].astype(b1.dtype),
-                dw2[:hd, :out].astype(w2.dtype),
-                db2[0, :out].astype(b2.dtype),
+                jnp.sum(dw1, axis=0)[:d, :hd].astype(w1.dtype),
+                jnp.sum(db1, axis=0)[0, :hd].astype(b1.dtype),
+                jnp.sum(dw2, axis=0)[:hd, :out].astype(w2.dtype),
+                jnp.sum(db2, axis=0)[0, :out].astype(b2.dtype),
                 jnp.zeros(seed.shape, jax.dtypes.float0))
 
     f.defvjp(_fwd, _bwd)

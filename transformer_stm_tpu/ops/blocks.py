@@ -51,10 +51,14 @@ def mlp(params, x, *, dropout_rate: float = 0.1, train: bool = False,
     if impl == "auto":
         impl = ("pallas" if (jax.default_backend() == "tpu" and not train)
                 else "xla")
+    if train and dropout_rate > 0.0 and rng is None:
+        # match the XLA path's failure mode with a clear message instead of
+        # silently reusing an all-zero dropout seed every step
+        raise ValueError("mlp: train=True with dropout_rate>0 requires rng")
     if impl in ("pallas", "flash") and train:
         from ..kernels.fused_mlp import make_fused_mlp_train
         rate = dropout_rate if dropout_rate > 0.0 else 0.0
-        seed = (jnp.zeros((2,), jnp.int32) if rng is None or rate == 0.0
+        seed = (jnp.zeros((2,), jnp.int32) if rate == 0.0
                 else jax.random.randint(rng, (2,), 0, 2 ** 31 - 1,
                                         jnp.int32))
         f = make_fused_mlp_train(rate)
