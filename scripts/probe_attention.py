@@ -34,7 +34,12 @@ IMPLS = [("xla", lambda q, k, v: _reference_attention(q, k, v)[1]),
          ("small", attention_small)]
 
 
-def timed(fn, q, k, v, iters):
+def timed(fn, q, k, v, iters, min_window=0.25):
+    """Scanned timing with an auto-scaled iteration count: iters doubles
+    until the measured window (t_all - t_one) exceeds `min_window` seconds,
+    so sub-0.1 ms kernels can't go negative under dispatch-baseline
+    subtraction (round-2's sweep had -0.02 ms entries at CvT s2/s3 —
+    VERDICT r2 weak #5)."""
     def run(n, q, k, v):
         def body(i, acc):
             e = jnp.asarray(1e-3, q.dtype) * i.astype(q.dtype)
@@ -42,13 +47,16 @@ def timed(fn, q, k, v, iters):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     r = jax.jit(run, static_argnums=0)
-    float(r(iters, q, k, v))
-    float(r(1, q, k, v))
-    t0 = time.perf_counter(); float(r(1, q, k, v))
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(r(iters, q, k, v))
-    t_all = time.perf_counter() - t0
-    return (t_all - t_one) / (iters - 1)
+    while True:
+        float(r(iters, q, k, v))
+        float(r(1, q, k, v))
+        t0 = time.perf_counter(); float(r(1, q, k, v))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(r(iters, q, k, v))
+        t_all = time.perf_counter() - t0
+        if t_all - t_one >= min_window or iters >= 5120:
+            return max((t_all - t_one) / (iters - 1), 1e-9)
+        iters *= 4
 
 
 def main():

@@ -86,64 +86,81 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from transformer_stm_tpu.kernels.fused_mlp import (_keep_mask,
-                                                       _seed_table)
+                                                       _seed_table,
+                                                       _train_dims)
 
     rate = 0.5
-    bn, n_pad, d_pad, hd_pad = 256, 768, 128, 128
-    nb = n_pad // bn
 
-    def mask_kernel(seed_ref, m1_ref, m2_ref):
-        pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
-        m1_ref[:] = _keep_mask(pltpu.prng_random_bits((bn, hd_pad)), rate)
-        m2_ref[:] = _keep_mask(pltpu.prng_random_bits((bn, d_pad)), rate)
+    def check_reconstruction(n2, d2, hd2, tag):
+        """Extract the kernel's masks for this shape's actual block
+        partition (bn comes from _train_dims, so the 1024-row production
+        blocks are covered too), reconstruct in XLA, compare fwd + grads."""
+        r2 = np.random.default_rng(hash(tag) % 2**31)
+        x2 = jnp.asarray(r2.standard_normal((n2, d2)), jnp.float32)
+        w1_ = jnp.asarray(r2.standard_normal((d2, hd2)) * 0.1, jnp.float32)
+        b1_ = jnp.asarray(r2.standard_normal((hd2,)) * 0.1, jnp.float32)
+        w2_ = jnp.asarray(r2.standard_normal((hd2, d2)) * 0.1, jnp.float32)
+        b2_ = jnp.asarray(r2.standard_normal((d2,)) * 0.1, jnp.float32)
+        g2 = jnp.asarray(r2.standard_normal((n2, d2)), jnp.float32)
+        sd = jnp.asarray(r2.integers(0, 2**31 - 1, (2,)), jnp.int32)
+        _, _, _, _, bn, n_pad, d_pad, hd_pad, out_pad = _train_dims(
+            x2, w1_, w2_)
+        nb = n_pad // bn
+        fd2 = make_fused_mlp_train(rate)
 
-    m1, m2 = pl.pallas_call(
-        mask_kernel, grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec((bn, hd_pad), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, hd_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32)],
-    )(_seed_table(seeds[0], nb))
+        def mask_kernel(seed_ref, m1_ref, m2_ref):
+            pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
+            m1_ref[:] = _keep_mask(pltpu.prng_random_bits((bn, hd_pad)),
+                                   rate)
+            m2_ref[:] = _keep_mask(pltpu.prng_random_bits((bn, out_pad)),
+                                   rate)
 
-    w1p = jnp.pad(w1[0], ((0, d_pad - d), (0, hd_pad - hd)))
-    b1p = jnp.pad(b1[0], (0, hd_pad - hd))
-    w2p = jnp.pad(w2[0], ((0, hd_pad - hd), (0, d_pad - d)))
-    b2p = jnp.pad(b2[0], (0, d_pad - d))
+        m1, m2 = pl.pallas_call(
+            mask_kernel, grid=(nb,),
+            in_specs=[pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=[pl.BlockSpec((bn, hd_pad), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((n_pad, hd_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32)],
+        )(_seed_table(sd, nb))
 
-    def recon(xx, w1p, b1p, w2p, b2p):
-        xf = jnp.pad(xx, ((0, n_pad - n), (0, d_pad - d)))
-        h = _gelu_exact(xf @ w1p + b1p) * m1
-        return ((h @ w2p + b2p) * m2)[:n, :d]
+        def recon(xx, a1, c1, a2, c2):
+            xf = jnp.pad(xx, ((0, n_pad - n2), (0, d_pad - d2)))
+            a1p = jnp.pad(a1, ((0, d_pad - d2), (0, hd_pad - hd2)))
+            c1p = jnp.pad(c1, (0, hd_pad - hd2))
+            a2p = jnp.pad(a2, ((0, hd_pad - hd2), (0, out_pad - d2)))
+            c2p = jnp.pad(c2, (0, out_pad - d2))
+            h = _gelu_exact(xf @ a1p + c1p) * m1
+            return ((h @ a2p + c2p) * m2)[:n2, :d2]
 
-    y_kern = fd(x[0], w1[0], b1[0], w2[0], b2[0], seeds[0])
-    y_rec = recon(x[0], w1p, b1p, w2p, b2p)
-    dmax = float(jnp.max(jnp.abs(y_kern - y_rec)))
-    print(f"dropout fwd vs mask-reconstruction: max diff {dmax:.2e}")
-    assert dmax == 0.0, dmax
+        y_kern = fd2(x2, w1_, b1_, w2_, b2_, sd)
+        y_rec = recon(x2, w1_, b1_, w2_, b2_)
+        dmax = float(jnp.max(jnp.abs(y_kern - y_rec)))
+        print(f"[{tag} bn={bn}] dropout fwd vs mask-reconstruction: "
+              f"max diff {dmax:.2e}")
+        assert dmax == 0.0, dmax
 
-    def loss_k(xx, a1, c1, a2, c2):
-        return jnp.sum(fd(xx, a1, c1, a2, c2, seeds[0]) * g[0])
+        def loss_k(*a):
+            return jnp.sum(fd2(*a, sd) * g2)
 
-    def loss_r(xx, a1, c1, a2, c2):
-        return jnp.sum(recon(xx, jnp.pad(a1, ((0, d_pad - d),
-                                              (0, hd_pad - hd))),
-                             jnp.pad(c1, (0, hd_pad - hd)),
-                             jnp.pad(a2, ((0, hd_pad - hd),
-                                          (0, d_pad - d))),
-                             jnp.pad(c2, (0, d_pad - d))) * g[0])
+        def loss_r(*a):
+            return jnp.sum(recon(*a) * g2)
 
-    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(
-        x[0], w1[0], b1[0], w2[0], b2[0])
-    gr2 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(
-        x[0], w1[0], b1[0], w2[0], b2[0])
-    for name, a, b in zip("x w1 b1 w2 b2".split(), gk, gr2):
-        err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
-        print(f"dropout grad d{name}: rel err {err:.2e}")
-        assert err < 3e-3, (name, err)
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(
+            x2, w1_, b1_, w2_, b2_)
+        gr3 = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(
+            x2, w1_, b1_, w2_, b2_)
+        for name, a, b in zip("x w1 b1 w2 b2".split(), gk, gr3):
+            err = float(jnp.max(jnp.abs(a - b))
+                        / (jnp.max(jnp.abs(b)) + 1e-9))
+            print(f"[{tag}] dropout grad d{name}: rel err {err:.2e}")
+            assert err < 3e-3, (tag, name, err)
+
+    check_reconstruction(700, 48, 96, "3x256-blocks")
+    check_reconstruction(3000, 64, 96, "1024-blocks")
     print("OK: fused train MLP validated on TPU")
 
 

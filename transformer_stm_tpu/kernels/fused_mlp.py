@@ -230,9 +230,22 @@ def _train_dims(x, w1, w2):
     n = 1
     for s in x.shape[:-1]:
         n *= s
-    bn = 256 if n >= 256 else _round_up(max(n, 8), 8)
+    hd_pad = _round_up(hd, 128)
+    if n >= 256:
+        # Larger token blocks cut the (n_blocks, D, Hd) weight-grad
+        # partial traffic proportionally; bounded by the (bn, hd_pad) f32
+        # intermediates (~4 live buffers) fitting an 8 MB VMEM budget.
+        # CvT stage 1 (hd_pad 256) gets 1024-row blocks — 4x fewer
+        # partials on the shape that dominates the backward.
+        bn = 256
+        for cand in (1024, 512):
+            if n >= cand and cand * hd_pad * 16 <= (8 << 20):
+                bn = cand
+                break
+    else:
+        bn = _round_up(max(n, 8), 8)
     return (n, d, hd, out, bn, _round_up(n, bn), _round_up(d, 128),
-            _round_up(hd, 128), _round_up(out, 128))
+            hd_pad, _round_up(out, 128))
 
 
 def _seed_table(seed, n_blocks: int):

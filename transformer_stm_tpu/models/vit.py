@@ -67,8 +67,12 @@ def patchify(images, patch_size: int):
 
 
 def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
-                rng=None, impl: str = "auto"):
-    """images: (B, H, W, C) -> logits (B, num_classes)."""
+                rng=None, impl: str = "auto", mlp_impl: str = None):
+    """images: (B, H, W, C) -> logits (B, num_classes).
+
+    impl routes the attention core; mlp_impl (default: follow impl) routes
+    the MLP separately so e.g. impl='small' attention can pair with the
+    fused Pallas inference MLP (same split as conv_transformer_block)."""
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
     b = x.shape[0]
@@ -90,7 +94,7 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
         x = x + y
         y = layer_norm(blk["norm2"], x, eps=1e-6)
         y = mlp(blk["mlp"], y, dropout_rate=spec.dropout_rate, train=train,
-                rng=r2, impl=impl)
+                rng=r2, impl=mlp_impl if mlp_impl is not None else impl)
         x = x + y
 
     x = layer_norm(params["head_norm"], x, eps=1e-6)

@@ -22,6 +22,7 @@ models/CvT(Par).py:115-191) including its quirks:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -89,9 +90,13 @@ def _attention_core(q, k, v, *, impl: str = "auto"):
         h = q.shape[2]
         score_bytes = 4 * h * entries * q.shape[0]
         big_scores = score_bytes > (1 << 30)
+        # measurement override: lets the sweep/probes re-derive the
+        # threshold without editing routing code
+        min_entries = int(os.environ.get("TSTM_SMALL_MIN_ENTRIES",
+                                         "300000"))
         if jax.default_backend() != "tpu":
             impl = "xla"
-        elif entries > 300_000 or big_scores:
+        elif entries > min_entries or big_scores:
             # whole K/V per program fits VMEM to ~9k tokens (the 16k
             # train config measured 16.01M/16M scoped vmem — the
             # double-buffered K/V windows are the floor); beyond that the
