@@ -84,8 +84,17 @@ def main():
     for f in targets:
         res = test_target(cfg, f, verbose=True)
         results[f] = {"r2": res["r2"], "mse": res["mse"], "mae": res["mae"]}
-    with open("Result/multi_run_summary.json", "w") as fh:
-        json.dump({"epochs": epochs, "results": results}, fh, indent=1)
+    # merge into the cumulative summary — chunks must not clobber each other
+    summary_path = "Result/multi_run_summary.json"
+    summary = {"epochs": epochs, "results": {}}
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            summary = json.load(fh)
+        summary.setdefault("results", {})
+    summary["epochs"] = epochs
+    summary["results"].update(results)
+    with open(summary_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
     print(json.dumps(results, indent=1))
 
 
