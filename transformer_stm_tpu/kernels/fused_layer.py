@@ -1,0 +1,218 @@
+"""Fused transformer-layer inference kernels (ViT family).
+
+Round-2 measurement: ViT-S/16 @224 batched inference is HBM-bound end to
+end — per layer the XLA path moves ~900 MB (LN round-trips, the (B, H, T,
+T) f32 score tensor, QKV/out projections, MLP residuals) against a ~150 MB
+fused floor, on a chip with ~370 GB/s effective HBM.  These two kernels
+fuse each transformer layer into two pallas_calls:
+
+  attn_layer_infer:  y = x + MHA(LN1(x))          (per-head QKV in VMEM)
+  ln_mlp_infer:      y = x + MLP(LN2(x))          (4x hidden in VMEM)
+
+so per layer HBM sees exactly: read x, write y, twice (~157 MB at ViT-S
+B=256) — everything else (normalised activations, q/k/v, scores, softmax,
+per-head outputs, the 4x MLP hidden) stays in VMEM.
+
+Token layout: the caller folds (B, T, E) -> (B * t_pad, E) once, with T
+zero-padded to the 8-sublane boundary, and keeps that layout across all
+layers (no per-layer reshapes).  Padded rows carry junk (LN of a zero row
+is beta), but they are harmless: as attention keys/values they are masked
+(col >= t_real -> -inf), as queries/MLP rows they only produce junk in
+padded output rows, which the caller slices off after the last layer.
+
+The attention grid runs over blocks of `bi` images; each program holds the
+whole (t_pad, t_pad) score matrix per image in VMEM — these kernels are
+for the short-sequence regime (T <= ~1k; ViT @224 = 197 tokens) where
+whole-row softmax fits comfortably.  Head projections use per-head
+(E, Dh) matmul stacks (native Dh = 64 lanes, the attention_small layout
+proven on this hardware).
+
+Inference only (no vjp): the training path keeps the existing composable
+kernels.  Replaces keras MultiHeadAttention + the Dense MLP at inference
+(reference models/CvT(Par).py:185,253-258) for the plain-ViT benchmark
+configs (BASELINE.json configs 1-3).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mlp import _gelu_exact, _round_up
+
+_INTERPRET = os.environ.get("TSTM_PALLAS_INTERPRET", "0") == "1"
+
+NEG_INF = -1e30
+
+
+def _layer_norm_rows(x, gamma, beta, eps: float):
+    """Row-wise LN of a (R, E) f32 block; gamma/beta are (1, E)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _attn_layer_kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                       acc_ref, q_scr, k_scr, v_scr, oh_scr, *, bi: int,
+                       t_pad: int, t_real: int, heads: int, scale: float,
+                       eps: float):
+    """One block of `bi` images: y = x + out_proj(attention(LN1(x)))."""
+    x = x_ref[:].astype(jnp.float32)                       # (R, E)
+    xn = _layer_norm_rows(x, g1_ref[:], be1_ref[:], eps).astype(x_ref.dtype)
+    # residual + out-projection bias, accumulated per head below
+    acc_ref[:] = x + bo_ref[:]
+
+    def head_body(h, _):
+        # per-head projections: (R, E) @ (E, Dh), f32 accumulation
+        q_scr[:] = ((jnp.dot(xn, wq_ref[h].astype(xn.dtype),
+                             preferred_element_type=jnp.float32)
+                     + bq_ref[h]) * scale).astype(q_scr.dtype)
+        k_scr[:] = (jnp.dot(xn, wk_ref[h].astype(xn.dtype),
+                            preferred_element_type=jnp.float32)
+                    + bk_ref[h]).astype(k_scr.dtype)
+        v_scr[:] = (jnp.dot(xn, wv_ref[h].astype(xn.dtype),
+                            preferred_element_type=jnp.float32)
+                    + bv_ref[h]).astype(v_scr.dtype)
+
+        def img_body(i, _):
+            rows = pl.ds(i * t_pad, t_pad)
+            qi = q_scr[rows, :]
+            ki = k_scr[rows, :]
+            vi = v_scr[rows, :]
+            s = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_real, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(vi.dtype), vi,
+                        preferred_element_type=jnp.float32) / l
+            oh_scr[rows, :] = o
+            return 0
+
+        jax.lax.fori_loop(0, bi, img_body, 0)
+        acc_ref[:] += jnp.dot(oh_scr[:].astype(x_ref.dtype),
+                              wo_ref[h].astype(x_ref.dtype),
+                              preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, heads, head_body, 0)
+    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
+                     eps: float = 1e-6, bi: int = None):
+    """x: (B * t_pad, E) folded tokens -> same shape, y = x + MHA(LN1(x)).
+
+    norm1: {gamma, beta} (E,); attn: init_mha params (query/key/value
+    kernels (E, H, Dh) + bias (H, Dh), out kernel (H, Dh, E) + bias (E,)).
+    """
+    n, e = x.shape
+    b = n // t_pad
+    h, dh = attn["query"]["bias"].shape
+    scale = 1.0 / math.sqrt(dh)
+
+    if bi is None:
+        for cand in (8, 4, 2, 1):
+            if b % cand == 0:
+                bi = cand
+                break
+    r = bi * t_pad
+
+    def head_major(p):
+        # (E, H, Dh) -> (H, E, Dh) matmul stack
+        return jnp.transpose(p["kernel"], (1, 0, 2)), \
+            p["bias"].astype(jnp.float32).reshape(h, 1, dh)
+
+    wq, bq = head_major(attn["query"])
+    wk, bk = head_major(attn["key"])
+    wv, bv = head_major(attn["value"])
+    wo = attn["out"]["kernel"]                                 # (H, Dh, E)
+    bo = attn["out"]["bias"].astype(jnp.float32).reshape(1, e)
+    g1 = norm1["gamma"].astype(jnp.float32).reshape(1, e)
+    be1 = norm1["beta"].astype(jnp.float32).reshape(1, e)
+
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_attn_layer_kernel, bi=bi, t_pad=t_pad,
+                          t_real=t_real, heads=h, scale=scale, eps=eps),
+        grid=(b // bi,),
+        in_specs=[pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [const] * 10,
+        out_specs=pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, e), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, e), jnp.float32),     # residual accumulator
+            pltpu.VMEM((r, dh), x.dtype),        # q
+            pltpu.VMEM((r, dh), x.dtype),        # k
+            pltpu.VMEM((r, dh), x.dtype),        # v
+            pltpu.VMEM((r, dh), jnp.float32),    # per-head attention out
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * e * (4 * h * dh) + 4 * n * t_pad * h * dh,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=n * t_pad * h,
+        ),
+        interpret=_INTERPRET,
+    )(x, g1, be1, wq, bq, wk, bk, wv, bv, wo, bo)
+    return y
+
+
+def _ln_mlp_kernel(x_ref, g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    xn = _layer_norm_rows(x, g2_ref[:], be2_ref[:], eps).astype(x_ref.dtype)
+    hid = jnp.dot(xn, w1_ref[:].astype(xn.dtype),
+                  preferred_element_type=jnp.float32) + b1_ref[:]
+    hid = _gelu_exact(hid)
+    y = jnp.dot(hid.astype(x_ref.dtype), w2_ref[:].astype(x_ref.dtype),
+                preferred_element_type=jnp.float32) + b2_ref[:]
+    o_ref[:] = (x + y).astype(o_ref.dtype)
+
+
+def ln_mlp_infer(x, norm2, mlp, *, eps: float = 1e-6, bn: int = 512):
+    """x: (N, E) token rows -> same shape, y = x + MLP(LN2(x)).
+
+    mlp: {fc1: {kernel (E, Hd), bias}, fc2: {kernel (Hd, E), bias}}.
+    E and Hd must be 128-multiples (384/1536 at ViT-S); N a multiple of 8.
+    """
+    n, e = x.shape
+    hd = mlp["fc1"]["kernel"].shape[1]
+    # largest row-block <= bn that divides n (n is a multiple of 8: the
+    # caller folds B * t_pad rows with t_pad 8-aligned)
+    for cand in (bn, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= bn and n % cand == 0:
+            bn = cand
+            break
+
+    g2 = norm2["gamma"].astype(jnp.float32).reshape(1, e)
+    be2 = norm2["beta"].astype(jnp.float32).reshape(1, e)
+    b1 = mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, hd)
+    b2 = mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, e)
+
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=(n // bn,),
+        in_specs=[pl.BlockSpec((bn, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [const] * 6,
+        out_specs=pl.BlockSpec((bn, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, e), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * e * hd,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=n * hd,
+        ),
+        interpret=_INTERPRET,
+    )(x, g2, be2, mlp["fc1"]["kernel"], b1, mlp["fc2"]["kernel"], b2)

@@ -72,7 +72,15 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
 
     impl routes the attention core; mlp_impl (default: follow impl) routes
     the MLP separately so e.g. impl='small' attention can pair with the
-    fused Pallas inference MLP (same split as conv_transformer_block)."""
+    fused Pallas inference MLP (same split as conv_transformer_block).
+    impl='fused' (inference only) runs each layer as two fused Pallas
+    kernels (kernels/fused_layer.py) with the token rows kept folded in
+    HBM across all layers — the bandwidth-floor path for the @224
+    throughput configs."""
+    if impl == "fused":
+        if train:
+            raise ValueError("impl='fused' is inference-only")
+        return _vit_forward_fused(params, spec, images)
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
     b = x.shape[0]
@@ -99,6 +107,32 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
 
     x = layer_norm(params["head_norm"], x, eps=1e-6)
     return dense(params["head"], x[:, 0, :])
+
+
+def _vit_forward_fused(params, spec: ViTSpec, images):
+    """Fused-layer inference: fold (B, T, E) -> (B * t_pad, E) once, run
+    every layer as attn_layer_infer + ln_mlp_infer (each one pallas_call,
+    HBM sees only the x read + y write), unfold at the head."""
+    from ..kernels.fused_layer import attn_layer_infer, ln_mlp_infer
+
+    x = patchify(images, spec.patch_size)
+    x = dense(params["patch_embed"], x)
+    b, n_p, e = x.shape
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, e))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    t = n_p + 1
+    t_pad = ((t + 7) // 8) * 8
+    x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    x = x.reshape(b * t_pad, e)
+    for blk in params["blocks"]:
+        x = attn_layer_infer(x, blk["norm1"], blk["attn"],
+                             t_pad=t_pad, t_real=t)
+        x = ln_mlp_infer(x, blk["norm2"], blk["mlp"])
+    x_cls = x.reshape(b, t_pad, e)[:, :1, :]
+    x_cls = layer_norm(params["head_norm"], x_cls, eps=1e-6)
+    return dense(params["head"], x_cls[:, 0, :])
 
 
 def classify_image(params, spec: ViTSpec, path: str, *,
