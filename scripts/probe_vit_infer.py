@@ -58,8 +58,10 @@ def main():
         images = jax.random.uniform(jax.random.PRNGKey(1),
                                     (batch, 224, 224, 3), jnp.bfloat16)
         row = {}
-        for attn in ("xla", "small"):
+        for attn in ("xla", "small", "fused"):
             def fn(x, p, attn=attn):
+                if attn == "fused":
+                    return vit_forward(p, spec, x, train=False, impl="fused")
                 return vit_forward(p, spec, x, train=False, impl=attn,
                                    mlp_impl="pallas")
             try:

@@ -76,7 +76,12 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
     impl='fused' (inference only) runs each layer as two fused Pallas
     kernels (kernels/fused_layer.py) with the token rows kept folded in
     HBM across all layers — the bandwidth-floor path for the @224
-    throughput configs."""
+    throughput configs.  'auto' picks it for TPU inference (override with
+    TSTM_VIT_INFER=xla|small|fused)."""
+    if impl == "auto" and not train and jax.default_backend() == "tpu":
+        import os
+
+        impl = os.environ.get("TSTM_VIT_INFER", "fused")
     if impl == "fused":
         if train:
             raise ValueError("impl='fused' is inference-only")
