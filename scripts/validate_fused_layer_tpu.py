@@ -46,7 +46,10 @@ def main():
     b = VIT_PRESETS["ViT-B/16"]
     b_shallow = dataclasses.replace(b, depth=2)
     ok = True
-    ok &= check("ViT-S d4 f32 B8", s_shallow, 8, jnp.float32, 1e-4)
+    # f32: in-kernel MXU matmuls are single-pass bf16 (the fused path is
+    # the bf16 throughput kernel; auto-routing excludes f32 inputs), so
+    # expect bf16-class error, not 1e-4
+    ok &= check("ViT-S d4 f32 B8", s_shallow, 8, jnp.float32, 2e-2)
     ok &= check("ViT-S d4 bf16 B8", s_shallow, 8, jnp.bfloat16, 5e-2)
     ok &= check("ViT-S d4 bf16 B3 (bi=1)", s_shallow, 3, jnp.bfloat16, 5e-2)
     ok &= check("ViT-S full bf16 B16", s, 16, jnp.bfloat16, 1e-1)

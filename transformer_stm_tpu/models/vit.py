@@ -78,7 +78,11 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
     HBM across all layers — the bandwidth-floor path for the @224
     throughput configs.  'auto' picks it for TPU inference (override with
     TSTM_VIT_INFER=xla|small|fused)."""
-    if impl == "auto" and not train and jax.default_backend() == "tpu":
+    if impl == "auto" and not train and jax.default_backend() == "tpu" \
+            and images.dtype == jnp.bfloat16:
+        # bf16 only: inside the kernel, f32 matmuls run as single-pass
+        # bf16 on the MXU (measured 1e-2 drift vs XLA's multi-pass f32),
+        # so full-precision inference keeps the composable path
         import os
 
         impl = os.environ.get("TSTM_VIT_INFER", "fused")
