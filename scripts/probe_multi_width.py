@@ -57,8 +57,13 @@ def main():
         run_one(int(sys.argv[2]))
         return
 
+    widths = (tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1
+              else WIDTHS)
     out = {}
-    for T in WIDTHS:
+    if os.path.exists("Result/multi_width_probe.json"):
+        with open("Result/multi_width_probe.json") as f:
+            out = json.load(f)
+    for T in widths:
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, __file__, "run", str(T)],

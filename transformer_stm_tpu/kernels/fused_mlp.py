@@ -231,7 +231,16 @@ def _train_dims(x, w1, w2):
     for s in x.shape[:-1]:
         n *= s
     hd_pad = _round_up(hd, 128)
-    if n >= 256:
+    env_bn = os.environ.get("TSTM_MLP_TRAIN_BN", "")
+    if env_bn:
+        # explicit token-block override: the multi-target trainer sets
+        # this for wide vmaps, where Mosaic's scoped-vmem accounting of
+        # the bwd kernel grows with the vmapped width (measured: bn=512
+        # fits the 16 MB limit at T=5 slots but overflows at T=6+ —
+        # 16.39/19.37/17.89 MB at T=6/8/10; the 512-row bwd blocks are
+        # the dominant term, so halving bn restores headroom)
+        bn = max(8, min(_round_up(int(env_bn), 8), _round_up(n, 8)))
+    elif n >= 256:
         # Larger token blocks cut the (n_blocks, D, Hd) weight-grad
         # partial traffic proportionally; bounded by the (bn, hd_pad) f32
         # intermediates (~4 live buffers) fitting an 8 MB VMEM budget.

@@ -226,6 +226,13 @@ class MultiTargetTrainer:
         self.targets = list(targets)
         self.spec = _spec_for(cfg)
         self.impl = impl
+        if mlp_impl == "pallas" and len(self.targets) >= 6:
+            # Mosaic's scoped-vmem accounting of the fused-MLP bwd kernel
+            # grows with the vmapped width: bn=512 token blocks fit the
+            # 16 MB limit up to T=5 slots and overflow beyond (width
+            # probe, Result/multi_width_probe.json).  Halve the block
+            # unless the caller already chose one.
+            os.environ.setdefault("TSTM_MLP_TRAIN_BN", "256")
         tc = cfg.train
         L = cfg.data.image_layers
         labels = LabelTable.load(cfg.data.excel_labels)
