@@ -61,52 +61,50 @@ def _layer_norm_rows(x, gamma, beta, eps: float):
 
 def _attn_layer_kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wk_ref,
                        bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
-                       acc_ref, q_scr, k_scr, v_scr, oh_scr, *, bi: int,
-                       t_pad: int, t_real: int, heads: int, scale: float,
+                       q_scr, k_scr, v_scr, oh_scr, *, bi: int,
+                       t_pad: int, t_real: int, heads: int, dh: int,
                        eps: float):
-    """One block of `bi` images: y = x + out_proj(attention(LN1(x)))."""
+    """One block of `bi` images: y = x + out_proj(attention(LN1(x))).
+
+    All four projections run as single full-width matmuls ((R, E) @
+    (E, H*Dh) / (H*Dh, E) — full 128-lane MXU tiles); the attention core
+    runs per head on a static Python loop with the `bi` images batched
+    through one dot_general (batch dim = image), so there is no
+    per-image scalar loop.  wq/bq arrive pre-scaled by 1/sqrt(Dh)."""
     x = x_ref[:].astype(jnp.float32)                       # (R, E)
     xn = _layer_norm_rows(x, g1_ref[:], be1_ref[:], eps).astype(x_ref.dtype)
-    # residual + out-projection bias, accumulated per head below
-    acc_ref[:] = x + bo_ref[:]
+    q_scr[:] = (jnp.dot(xn, wq_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bq_ref[:]).astype(q_scr.dtype)
+    k_scr[:] = (jnp.dot(xn, wk_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bk_ref[:]).astype(k_scr.dtype)
+    v_scr[:] = (jnp.dot(xn, wv_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bv_ref[:]).astype(v_scr.dtype)
 
-    def head_body(h, _):
-        # per-head projections: (R, E) @ (E, Dh), f32 accumulation
-        q_scr[:] = ((jnp.dot(xn, wq_ref[h].astype(xn.dtype),
-                             preferred_element_type=jnp.float32)
-                     + bq_ref[h]) * scale).astype(q_scr.dtype)
-        k_scr[:] = (jnp.dot(xn, wk_ref[h].astype(xn.dtype),
-                            preferred_element_type=jnp.float32)
-                    + bk_ref[h]).astype(k_scr.dtype)
-        v_scr[:] = (jnp.dot(xn, wv_ref[h].astype(xn.dtype),
-                            preferred_element_type=jnp.float32)
-                    + bv_ref[h]).astype(v_scr.dtype)
+    for h in range(heads):
+        lanes = slice(h * dh, (h + 1) * dh)
+        qh = q_scr[:, lanes].reshape(bi, t_pad, dh)
+        kh = k_scr[:, lanes].reshape(bi, t_pad, dh)
+        vh = v_scr[:, lanes].reshape(bi, t_pad, dh)
+        # (bi, t_pad, t_pad) scores, image-batched in one dot_general
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < t_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) / l
+        oh_scr[:, lanes] = o.reshape(bi * t_pad, dh).astype(oh_scr.dtype)
 
-        def img_body(i, _):
-            rows = pl.ds(i * t_pad, t_pad)
-            qi = q_scr[rows, :]
-            ki = k_scr[rows, :]
-            vi = v_scr[rows, :]
-            s = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < t_real, s, NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(vi.dtype), vi,
-                        preferred_element_type=jnp.float32) / l
-            oh_scr[rows, :] = o
-            return 0
-
-        jax.lax.fori_loop(0, bi, img_body, 0)
-        acc_ref[:] += jnp.dot(oh_scr[:].astype(x_ref.dtype),
-                              wo_ref[h].astype(x_ref.dtype),
-                              preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, heads, head_body, 0)
-    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    # residual + bias + one full-width out projection
+    y = x + bo_ref[:] + jnp.dot(oh_scr[:], wo_ref[:].astype(oh_scr.dtype),
+                                preferred_element_type=jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
 
 
 def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
@@ -119,24 +117,40 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
     n, e = x.shape
     b = n // t_pad
     h, dh = attn["query"]["bias"].shape
+    hd = h * dh
     scale = 1.0 / math.sqrt(dh)
 
     if bi is None:
+        # Mosaic scoped-vmem estimate per program (calibrated on hardware:
+        # the estimate runs ~1.26x over the compiler's accounting — 16.0M
+        # estimated / 12.6M actual at ViT-S bi=8, 31.9M / 25.27M at ViT-B
+        # bi=8 which overflowed the 16M limit), so admit up to 19M
+        # estimated ~= 15M actual
+        it = x.dtype.itemsize
+        bi = 1
         for cand in (8, 4, 2, 1):
-            if b % cand == 0:
+            if b % cand:
+                continue
+            rr = cand * t_pad
+            est = (4 * rr * e * it          # x in + y out, double-buffered
+                   + 4 * rr * hd * it       # q/k/v/o scratch
+                   + rr * e * 4             # xn f32 temp
+                   + 4 * e * hd * it        # packed weights
+                   + 2 * cand * t_pad * t_pad * 4)   # live score buffers
+            if est <= (19 << 20):
                 bi = cand
                 break
     r = bi * t_pad
 
-    def head_major(p):
-        # (E, H, Dh) -> (H, E, Dh) matmul stack
-        return jnp.transpose(p["kernel"], (1, 0, 2)), \
-            p["bias"].astype(jnp.float32).reshape(h, 1, dh)
+    def packed(p, mul=1.0):
+        # (E, H, Dh) -> (E, H*Dh) single-matmul layout
+        return p["kernel"].reshape(e, hd) * mul, \
+            (p["bias"].astype(jnp.float32).reshape(1, hd) * mul)
 
-    wq, bq = head_major(attn["query"])
-    wk, bk = head_major(attn["key"])
-    wv, bv = head_major(attn["value"])
-    wo = attn["out"]["kernel"]                                 # (H, Dh, E)
+    wq, bq = packed(attn["query"], scale)      # q pre-scaled by 1/sqrt(Dh)
+    wk, bk = packed(attn["key"])
+    wv, bv = packed(attn["value"])
+    wo = attn["out"]["kernel"].reshape(hd, e)
     bo = attn["out"]["bias"].astype(jnp.float32).reshape(1, e)
     g1 = norm1["gamma"].astype(jnp.float32).reshape(1, e)
     be1 = norm1["beta"].astype(jnp.float32).reshape(1, e)
@@ -144,7 +158,7 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         functools.partial(_attn_layer_kernel, bi=bi, t_pad=t_pad,
-                          t_real=t_real, heads=h, scale=scale, eps=eps),
+                          t_real=t_real, heads=h, dh=dh, eps=eps),
         grid=(b // bi,),
         in_specs=[pl.BlockSpec((r, e), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + [const] * 10,
@@ -152,11 +166,10 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, e), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((r, e), jnp.float32),     # residual accumulator
-            pltpu.VMEM((r, dh), x.dtype),        # q
-            pltpu.VMEM((r, dh), x.dtype),        # k
-            pltpu.VMEM((r, dh), x.dtype),        # v
-            pltpu.VMEM((r, dh), jnp.float32),    # per-head attention out
+            pltpu.VMEM((r, hd), x.dtype),        # q (all heads)
+            pltpu.VMEM((r, hd), x.dtype),        # k
+            pltpu.VMEM((r, hd), x.dtype),        # v
+            pltpu.VMEM((r, hd), x.dtype),        # attention out (all heads)
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * e * (4 * h * dh) + 4 * n * t_pad * h * dh,
