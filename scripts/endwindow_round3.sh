@@ -11,6 +11,10 @@ LOG=${1:-/tmp/endwindow_r3.log}
 cd /root/repo
 {
   echo "=== end window start $(date +%H:%M:%S) ==="
+  timeout 1800 python scripts/probe_fused_layer.py
+  echo "=== width probe 8-12 $(date +%H:%M:%S) ==="
+  timeout 2400 python scripts/probe_multi_width.py 8 10 12
+  echo "=== attention sweep $(date +%H:%M:%S) ==="
   timeout 1800 python scripts/probe_attention.py 40
   echo "=== highres 512 $(date +%H:%M:%S) ==="
   timeout 1800 python scripts/bench_highres.py 512 8

@@ -54,6 +54,12 @@ def main():
     ok &= check("ViT-S d4 bf16 B3 (bi=1)", s_shallow, 3, jnp.bfloat16, 5e-2)
     ok &= check("ViT-S full bf16 B16", s, 16, jnp.bfloat16, 1e-1)
     ok &= check("ViT-B d2 bf16 B8", b_shallow, 8, jnp.bfloat16, 5e-2)
+    ti = VIT_PRESETS.get("ViT-Ti/16")
+    if ti is not None:
+        # E=192: blocks hit the lane dim == array dim Mosaic path
+        ok &= check("ViT-Ti d2 bf16 B8",
+                    dataclasses.replace(ti, depth=2), 8, jnp.bfloat16,
+                    5e-2)
     print("ALL PASS" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
