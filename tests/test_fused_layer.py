@@ -48,6 +48,20 @@ def test_fused_odd_batch_and_tokens():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_fused_vit_ti_width():
+    # E=192 (not a 128-multiple): blocks take the lane-dim == array-dim
+    # Mosaic path
+    spec = dataclasses.replace(VIT_PRESETS["ViT-Ti/16"], depth=1,
+                               image_size=64)
+    params = init_vit(jax.random.PRNGKey(4), spec)
+    img = jax.random.uniform(jax.random.PRNGKey(5), (4, 64, 64, 3),
+                             jnp.float32)
+    ref = vit_forward(params, spec, img, train=False, impl="xla",
+                      mlp_impl="xla")
+    got = vit_forward(params, spec, img, train=False, impl="fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_fused_rejects_train():
     spec = _small_spec(depth=1)
     params = init_vit(jax.random.PRNGKey(0), spec)
