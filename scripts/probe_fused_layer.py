@@ -74,6 +74,7 @@ def main():
         images = jax.random.uniform(jax.random.PRNGKey(1),
                                     (batch, 224, 224, 3), jnp.bfloat16)
         for name, kw in (("fused", dict(impl="fused")),
+                         ("fused2", dict(impl="fused2")),
                          ("xla", dict(impl="xla", mlp_impl="pallas"))):
             def fn(x, p, kw=kw):
                 return vit_forward(p, spec, x, train=False, **kw)

@@ -20,7 +20,7 @@ from transformer_stm_tpu.config import VIT_PRESETS
 from transformer_stm_tpu.models import init_vit, vit_forward
 
 
-def check(name, spec, batch, dtype, atol):
+def check(name, spec, batch, dtype, atol, impl="fused"):
     params = init_vit(jax.random.PRNGKey(0), spec)
     params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
     img = jax.random.uniform(jax.random.PRNGKey(1),
@@ -30,13 +30,14 @@ def check(name, spec, batch, dtype, atol):
                                            impl="xla", mlp_impl="xla"))(
         img, params).astype(jnp.float32)
     got = jax.jit(lambda x, p: vit_forward(p, spec, x, train=False,
-                                           impl="fused"))(
+                                           impl=impl))(
         img, params).astype(jnp.float32)
     diff = float(jnp.max(jnp.abs(ref - got)))
     scale = float(jnp.max(jnp.abs(ref))) or 1.0
     ok = diff <= atol * max(1.0, scale)
-    print(f"{'PASS' if ok else 'FAIL'} {name}: max|diff|={diff:.2e} "
-          f"(ref scale {scale:.2e}, atol {atol})", flush=True)
+    print(f"{'PASS' if ok else 'FAIL'} {name} [{impl}]: "
+          f"max|diff|={diff:.2e} (ref scale {scale:.2e}, atol {atol})",
+          flush=True)
     return ok
 
 
@@ -60,6 +61,13 @@ def main():
         ok &= check("ViT-Ti d2 bf16 B8",
                     dataclasses.replace(ti, depth=2), 8, jnp.bfloat16,
                     5e-2)
+    # merged single-kernel layer (impl='fused2')
+    ok &= check("ViT-S d4 bf16 B8", s_shallow, 8, jnp.bfloat16, 5e-2,
+                impl="fused2")
+    ok &= check("ViT-S full bf16 B16", s, 16, jnp.bfloat16, 1e-1,
+                impl="fused2")
+    ok &= check("ViT-B d2 bf16 B8", b_shallow, 8, jnp.bfloat16, 5e-2,
+                impl="fused2")
     print("ALL PASS" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

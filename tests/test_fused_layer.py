@@ -22,9 +22,10 @@ def _small_spec(depth=2):
                                image_size=64)
 
 
+@pytest.mark.parametrize("impl", ["fused", "fused2"])
 @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-4),
                                         (jnp.bfloat16, 5e-2)])
-def test_fused_matches_xla(dtype, atol):
+def test_fused_matches_xla(dtype, atol, impl):
     spec = _small_spec()
     params = init_vit(jax.random.PRNGKey(0), spec)
     params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
@@ -32,7 +33,7 @@ def test_fused_matches_xla(dtype, atol):
     ref = vit_forward(params, spec, img, train=False, impl="xla",
                       mlp_impl="xla").astype(jnp.float32)
     got = vit_forward(params, spec, img, train=False,
-                      impl="fused").astype(jnp.float32)
+                      impl=impl).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
 
 

@@ -16,5 +16,6 @@ against at 1e-3 (tests/test_kernels.py).
 """
 
 from .flash_attention import flash_attention  # noqa: F401
-from .fused_layer import attn_layer_infer, ln_mlp_infer  # noqa: F401
+from .fused_layer import (attn_layer_infer, ln_mlp_infer,  # noqa: F401
+                          vit_layer_infer)
 from .fused_mlp import fused_mlp  # noqa: F401

@@ -181,6 +181,138 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
     return y
 
 
+def _layer_kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wk_ref,
+                  bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, g2_ref, be2_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  q_scr, k_scr, v_scr, oh_scr, *, bi: int, t_pad: int,
+                  t_real: int, heads: int, dh: int, eps: float,
+                  mlp_chunks: int):
+    """Whole transformer layer in one program:
+    y = z + MLP(LN2(z)),  z = x + MHA(LN1(x)).
+    Same attention structure as _attn_layer_kernel; the MLP runs in
+    `mlp_chunks` row chunks so the f32 4x hidden stays small."""
+    x = x_ref[:].astype(jnp.float32)                       # (R, E)
+    xn = _layer_norm_rows(x, g1_ref[:], be1_ref[:], eps).astype(x_ref.dtype)
+    q_scr[:] = (jnp.dot(xn, wq_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bq_ref[:]).astype(q_scr.dtype)
+    k_scr[:] = (jnp.dot(xn, wk_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bk_ref[:]).astype(k_scr.dtype)
+    v_scr[:] = (jnp.dot(xn, wv_ref[:].astype(xn.dtype),
+                        preferred_element_type=jnp.float32)
+                + bv_ref[:]).astype(v_scr.dtype)
+
+    for h in range(heads):
+        lanes = slice(h * dh, (h + 1) * dh)
+        qh = q_scr[:, lanes].reshape(bi, t_pad, dh)
+        kh = k_scr[:, lanes].reshape(bi, t_pad, dh)
+        vh = v_scr[:, lanes].reshape(bi, t_pad, dh)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < t_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) / l
+        oh_scr[:, lanes] = o.reshape(bi * t_pad, dh).astype(oh_scr.dtype)
+
+    z = x + bo_ref[:] + jnp.dot(oh_scr[:], wo_ref[:].astype(oh_scr.dtype),
+                                preferred_element_type=jnp.float32)
+    zn = _layer_norm_rows(z, g2_ref[:], be2_ref[:], eps).astype(x_ref.dtype)
+    r = zn.shape[0]
+    cr = r // mlp_chunks
+    for c in range(mlp_chunks):
+        rows = slice(c * cr, (c + 1) * cr)
+        hid = jnp.dot(zn[rows], w1_ref[:].astype(zn.dtype),
+                      preferred_element_type=jnp.float32) + b1_ref[:]
+        hid = _gelu_exact(hid)
+        y = z[rows] + (jnp.dot(hid.astype(zn.dtype),
+                               w2_ref[:].astype(zn.dtype),
+                               preferred_element_type=jnp.float32)
+                       + b2_ref[:])
+        o_ref[rows, :] = y.astype(o_ref.dtype)
+
+
+def vit_layer_infer(x, norm1, attn, norm2, mlp, *, t_pad: int,
+                    t_real: int, eps: float = 1e-6, bi: int = None,
+                    mlp_chunks: int = 2):
+    """Whole ViT layer (both sublayers) as ONE pallas_call on folded
+    (B * t_pad, E) token rows — saves the inter-sublayer HBM round-trip
+    of the two-kernel path (attn_layer_infer + ln_mlp_infer)."""
+    n, e = x.shape
+    b = n // t_pad
+    h, dh = attn["query"]["bias"].shape
+    hd = h * dh
+    hidden = mlp["fc1"]["kernel"].shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    it = x.dtype.itemsize
+    if bi is None:
+        bi = 1
+        for cand in (8, 4, 2, 1):
+            if b % cand:
+                continue
+            rr = cand * t_pad
+            est = (4 * rr * e * it + 4 * rr * hd * it + rr * e * 4
+                   + 4 * e * hd * it + 2 * cand * t_pad * t_pad * 4
+                   + 2 * e * hidden * it          # MLP weights
+                   + rr * e * 4                   # z f32
+                   + 2 * (rr // mlp_chunks) * hidden * 4)   # hidden chunk
+            if est <= (19 << 20):
+                bi = cand
+                break
+    r = bi * t_pad
+    while mlp_chunks > 1 and (r % mlp_chunks or (r // mlp_chunks) % 8):
+        mlp_chunks -= 1   # chunk rows must stay 8-sublane aligned
+
+    def packed(p, mul=1.0):
+        return p["kernel"].reshape(e, hd) * mul, \
+            (p["bias"].astype(jnp.float32).reshape(1, hd) * mul)
+
+    wq, bq = packed(attn["query"], scale)
+    wk, bk = packed(attn["key"])
+    wv, bv = packed(attn["value"])
+    wo = attn["out"]["kernel"].reshape(hd, e)
+    bo = attn["out"]["bias"].astype(jnp.float32).reshape(1, e)
+    g1 = norm1["gamma"].astype(jnp.float32).reshape(1, e)
+    be1 = norm1["beta"].astype(jnp.float32).reshape(1, e)
+    g2 = norm2["gamma"].astype(jnp.float32).reshape(1, e)
+    be2 = norm2["beta"].astype(jnp.float32).reshape(1, e)
+    b1 = mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, hidden)
+    b2 = mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, e)
+
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel, bi=bi, t_pad=t_pad,
+                          t_real=t_real, heads=h, dh=dh, eps=eps,
+                          mlp_chunks=mlp_chunks),
+        grid=(b // bi,),
+        in_specs=[pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [const] * 16,
+        out_specs=pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, e), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * e * (4 * hd + 2 * hidden)
+            + 4 * n * t_pad * h * dh,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=n * (t_pad * h + hidden),
+        ),
+        interpret=_INTERPRET,
+    )(x, g1, be1, wq, bq, wk, bk, wv, bv, wo, bo, g2, be2,
+      mlp["fc1"]["kernel"], b1, mlp["fc2"]["kernel"], b2)
+
+
 def _ln_mlp_kernel(x_ref, g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)

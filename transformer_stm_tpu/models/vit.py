@@ -86,10 +86,11 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
         import os
 
         impl = os.environ.get("TSTM_VIT_INFER", "fused")
-    if impl == "fused":
+    if impl in ("fused", "fused2"):
         if train:
-            raise ValueError("impl='fused' is inference-only")
-        return _vit_forward_fused(params, spec, images)
+            raise ValueError(f"impl={impl!r} is inference-only")
+        return _vit_forward_fused(params, spec, images,
+                                  merged=(impl == "fused2"))
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
     b = x.shape[0]
@@ -118,11 +119,13 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
     return dense(params["head"], x[:, 0, :])
 
 
-def _vit_forward_fused(params, spec: ViTSpec, images):
+def _vit_forward_fused(params, spec: ViTSpec, images, merged: bool = False):
     """Fused-layer inference: fold (B, T, E) -> (B * t_pad, E) once, run
     every layer as attn_layer_infer + ln_mlp_infer (each one pallas_call,
-    HBM sees only the x read + y write), unfold at the head."""
-    from ..kernels.fused_layer import attn_layer_infer, ln_mlp_infer
+    HBM sees only the x read + y write), unfold at the head.  merged=True
+    runs both sublayers in ONE pallas_call per layer (vit_layer_infer)."""
+    from ..kernels.fused_layer import (attn_layer_infer, ln_mlp_infer,
+                                       vit_layer_infer)
 
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
@@ -136,9 +139,14 @@ def _vit_forward_fused(params, spec: ViTSpec, images):
     x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     x = x.reshape(b * t_pad, e)
     for blk in params["blocks"]:
-        x = attn_layer_infer(x, blk["norm1"], blk["attn"],
-                             t_pad=t_pad, t_real=t)
-        x = ln_mlp_infer(x, blk["norm2"], blk["mlp"])
+        if merged:
+            x = vit_layer_infer(x, blk["norm1"], blk["attn"],
+                                blk["norm2"], blk["mlp"],
+                                t_pad=t_pad, t_real=t)
+        else:
+            x = attn_layer_infer(x, blk["norm1"], blk["attn"],
+                                 t_pad=t_pad, t_real=t)
+            x = ln_mlp_infer(x, blk["norm2"], blk["mlp"])
     x_cls = x.reshape(b, t_pad, e)[:, :1, :]
     x_cls = layer_norm(params["head_norm"], x_cls, eps=1e-6)
     return dense(params["head"], x_cls[:, 0, :])
