@@ -88,9 +88,10 @@ def bench_vit_inference(batches=(192, 384), dtype=jnp.bfloat16):
     return best
 
 
-def bench_vit_with_preprocessing(batch=192, dtype=jnp.bfloat16):
+def bench_vit_with_preprocessing(batches=(192, 384), dtype=jnp.bfloat16):
     """BASELINE.json config 2: raw uint8 RGB (345x340 melt-pool frames) ->
-    fused on-device resize/grayscale/normalize -> ViT-S/16 @224."""
+    fused on-device resize/grayscale/normalize -> ViT-S/16 @224.  Best
+    over a small batch sweep, like the headline."""
     from transformer_stm_tpu.config import VIT_PRESETS
     from transformer_stm_tpu.data.images import preprocess_images_device
     from transformer_stm_tpu.models import init_vit, vit_forward
@@ -99,15 +100,20 @@ def bench_vit_with_preprocessing(batch=192, dtype=jnp.bfloat16):
     spec = dataclasses.replace(VIT_PRESETS["ViT-S/16"], num_channels=1)
     params = init_vit(jax.random.PRNGKey(0), spec)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
-    raw = jax.random.randint(jax.random.PRNGKey(1), (batch, 345, 340, 3),
-                             0, 255, jnp.uint8)
 
     def fn(x, p):
         img = preprocess_images_device(x, 224, 224, dtype=dtype)
         return vit_forward(p, spec, img, train=False)
 
-    dt = _time_scanned(fn, raw, params, vary_eps=1)
-    return batch / dt
+    best = 0.0
+    for batch in batches:
+        raw = jax.random.randint(jax.random.PRNGKey(1),
+                                 (batch, 345, 340, 3), 0, 255, jnp.uint8)
+        dt = _time_scanned(fn, raw, params, vary_eps=1)
+        print(f"#   ViT-S+preproc B={batch}: {batch / dt:,.0f} img/s",
+              file=sys.stderr, flush=True)
+        best = max(best, batch / dt)
+    return best
 
 
 def bench_cvt_inference(batch=512, dtype=jnp.bfloat16):

@@ -406,3 +406,22 @@ def test_flash_bwd_dispatches_to_xla_beyond_vmem_budget(monkeypatch):
     fa._bwd(res_for(1024, 1024), None)
     fa._bwd(res_for(1024, 16384), None)   # long-KV side alone must trip it
     assert calls == ["xla", "pallas", "xla"]
+
+
+def test_train_dims_env_block_override(monkeypatch):
+    """TSTM_MLP_TRAIN_BN forces the fused train-MLP token block (the
+    multi-target trainer sets it for wide vmaps — scoped-vmem overflow
+    at T>=6 otherwise, Result/multi_width_probe.json)."""
+    import numpy as np
+
+    from transformer_stm_tpu.kernels.fused_mlp import _train_dims
+
+    x = np.zeros((4096, 256), np.float32)
+    w1 = np.zeros((256, 1024), np.float32)
+    w2 = np.zeros((1024, 256), np.float32)
+    bn_default = _train_dims(x, w1, w2)[4]
+    assert bn_default == 512   # the 8 MB-budget choice at these shapes
+    monkeypatch.setenv("TSTM_MLP_TRAIN_BN", "256")
+    assert _train_dims(x, w1, w2)[4] == 256
+    monkeypatch.setenv("TSTM_MLP_TRAIN_BN", "100")   # rounds up to 8-mult
+    assert _train_dims(x, w1, w2)[4] == 104
