@@ -153,3 +153,101 @@ def test_genuine_h5_roundtrip_param_count(ref_mod, tmp_path):
     n_state = sum(x.size for x in jax.tree_util.tree_leaves(state))
     keras_total = sum(int(np.prod(w.shape)) for w in model.weights)
     assert n_params + n_state == keras_total
+
+
+def test_export_roundtrip_into_reference_model(ref_mod, sls_images,
+                                               tmp_path):
+    """Migration loop closure: OUR randomly-initialised weights exported
+    into the reference's own create_cvt_model via save_weights; the
+    reference model's predictions must match cvt_forward to 1e-3, and the
+    written .h5 must re-import bit-identically."""
+    import jax
+
+    from transformer_stm_tpu.config import CvTSpec
+    from transformer_stm_tpu.models.cvt import cvt_forward, init_cvt
+    from transformer_stm_tpu.train.h5_export import export_cvt_reference_h5
+    from transformer_stm_tpu.train.h5_import import import_cvt_h5
+
+    spec = CvTSpec().with_projection("dw_bn", True)
+    params, state = init_cvt(jax.random.PRNGKey(3), spec)
+    # non-trivial BN stats so inference-mode normalisation is exercised
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.25 if x.ndim == 1 else x, state)
+
+    path = str(tmp_path / "exported_cvt_model_weights_50HZ_Bm_dw_bn_"
+               "clsTrue.h5")
+    model = export_cvt_reference_h5(params, state, spec, path, mod=ref_mod)
+
+    rng = np.random.default_rng(7)
+    proc = rng.standard_normal((len(sls_images), 5)).astype(np.float32)
+    ref_out = np.asarray(model([sls_images, proc],
+                               training=False)).ravel()
+    ours, _ = cvt_forward(params, state, spec, sls_images, proc,
+                          train=False)
+    assert np.max(np.abs(np.asarray(ours).ravel() - ref_out)) < 1e-3
+
+    # the h5 on disk round-trips through the importer bit-exactly
+    p2, s2 = import_cvt_h5(path, spec)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b))
+
+
+def test_img_only_export_matches_reference_model(sls_images, tmp_path):
+    """Img-only variant (reference models/CvT(Img).py — same layer
+    naming, no proc branch): our proc_dim=0 weights exported into ITS
+    model must reproduce cvt_forward."""
+    import jax
+
+    from transformer_stm_tpu.config import CvTSpec
+    from transformer_stm_tpu.models.cvt import cvt_forward, init_cvt
+    from transformer_stm_tpu.train.h5_export import export_cvt_reference_h5
+
+    import dataclasses
+    spec = dataclasses.replace(
+        CvTSpec().with_projection("dw_bn", True), proc_dim=0)
+    params, state = init_cvt(jax.random.PRNGKey(5), spec)
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.25 if x.ndim == 1 else x, state)
+
+    path = str(tmp_path / "cvt_model_weights_50HZ_Bm_dw_bn_clsTrue.h5")
+    model = export_cvt_reference_h5(params, state, spec, path)
+    ref_out = np.asarray(model(sls_images, training=False)).ravel()
+    ours, _ = cvt_forward(params, state, spec, sls_images, None,
+                          train=False)
+    assert np.max(np.abs(np.asarray(ours).ravel() - ref_out)) < 1e-3
+
+
+def test_ffn_export_matches_reference_model(tmp_path):
+    """Our FFN weights exported into the reference's params-only model
+    (models/FFN(OnlyPar).py create_cvt_model); predictions must agree
+    with ffn_forward, and load_weights on a FRESH reference model must
+    reproduce them (the exact flow of models/FFN_test(OnlyPar).py:177)."""
+    import jax
+
+    from transformer_stm_tpu.models.ffn import ffn_forward, init_ffn
+    from transformer_stm_tpu.train.h5_export import (
+        REF_FFN, export_ffn_reference_h5, load_reference_module)
+
+    params = init_ffn(jax.random.PRNGKey(11))
+    path = str(tmp_path / "Vit_model_weights_50HZ_Bm.h5")
+    mod = load_reference_module(REF_FFN)
+    model = export_ffn_reference_h5(params, path, mod=mod)
+
+    rng = np.random.default_rng(3)
+    proc = rng.standard_normal((64, 5)).astype(np.float32)
+    ours = np.asarray(ffn_forward(params, proc)).ravel()
+    np.testing.assert_allclose(
+        np.asarray(model(proc, training=False)).ravel(), ours,
+        rtol=0, atol=1e-5)
+
+    fresh = mod.create_cvt_model(5, 1)
+    fresh.load_weights(path)
+    np.testing.assert_allclose(
+        np.asarray(fresh(proc, training=False)).ravel(), ours,
+        rtol=0, atol=1e-5)

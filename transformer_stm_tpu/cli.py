@@ -100,6 +100,13 @@ def main(argv=None):
 
     sub.add_parser("bench", help="run the throughput benchmark")
 
+    p = sub.add_parser("export-h5", help="export trained weights into the "
+                       "reference's own Keras model (.h5 its unmodified "
+                       "eval scripts can load_weights)")
+    _add_common(p)
+    p.add_argument("--out", help="output .h5 path (default: next to the "
+                   "checkpoint, reference naming convention)")
+
     p = sub.add_parser("compare", help="CvT vs classical-ML baselines")
     p.add_argument("--metrics-dir", required=True,
                    help="dir of Predictions_Metrics_{freq}.xlsx")
@@ -155,6 +162,49 @@ def main(argv=None):
     elif args.cmd == "bench":
         import runpy
         runpy.run_module("bench", run_name="__main__")
+    elif args.cmd == "export-h5":
+        import os
+
+        import jax
+        from .harness import _paths, _spec_for
+        from .train.checkpoint import latest_checkpoint, load_checkpoint
+        from .train.h5_export import (export_cvt_reference_h5,
+                                      load_reference_module)
+
+        cfg = _build_cfg(args)
+        if cfg.inputs == "par":
+            from .models.ffn import init_ffn
+            from .train.h5_export import (REF_FFN,
+                                          export_ffn_reference_h5)
+
+            mod = load_reference_module(REF_FFN)
+            for freq in cfg.frequencies:
+                paths = _paths(cfg, freq)
+                ckpt = latest_checkpoint(paths["weights"])
+                if ckpt is None:
+                    print(f"{freq}: no checkpoint under {paths['weights']}")
+                    continue
+                params = init_ffn(jax.random.PRNGKey(0))
+                params, _, _, _ = load_checkpoint(ckpt, params, {})
+                out = args.out or (paths["weights"].rstrip("/") + ".h5")
+                export_ffn_reference_h5(params, out, mod=mod)
+                print(f"{freq}: wrote {out}")
+            return 0
+        from .models.cvt import init_cvt
+        spec = _spec_for(cfg)
+        mod = load_reference_module()
+        for freq in cfg.frequencies:
+            paths = _paths(cfg, freq)
+            ckpt = latest_checkpoint(paths["weights"])
+            if ckpt is None:
+                print(f"{freq}: no checkpoint under {paths['weights']}")
+                continue
+            params, state = init_cvt(jax.random.PRNGKey(0), spec)
+            params, state, _, _ = load_checkpoint(ckpt, params, state)
+            out = args.out or (paths["weights"].rstrip("/") + ".h5")
+            export_cvt_reference_h5(params, state, spec, out, mod=mod)
+            print(f"{freq}: wrote {out}")
+        return 0
     elif args.cmd == "compare":
         import os
         from .config import FREQUENCIES

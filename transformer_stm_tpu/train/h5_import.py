@@ -72,7 +72,7 @@ def _find_name(arrays: Dict[str, np.ndarray], *, contains: List[str],
         low = name.lower()
         if all(p.lower() in low for p in contains) and \
                 not any(p.lower() in low for p in (not_contains or [])) and \
-                arrays[name].shape == tuple(shape):
+                tuple(arrays[name].shape) == tuple(shape):
             used.add(name)
             return name
     raise KeyError(
@@ -80,41 +80,44 @@ def _find_name(arrays: Dict[str, np.ndarray], *, contains: List[str],
         f"(available: {[(n, arrays[n].shape) for n in sorted(arrays) if n not in used][:8]}...)")
 
 
-def _find(arrays, **kw) -> np.ndarray:
-    return arrays[_find_name(arrays, **kw)]
+def _find(arrays, **kw) -> str:
+    return _find_name(arrays, **kw)
 
 
 def _sibling(arrays: Dict[str, np.ndarray], kernel_name: str, leaf: str,
-             used: set) -> np.ndarray:
-    """Dataset named `leaf` in the same h5 group as kernel_name."""
+             used: set) -> str:
+    """Name of the dataset `leaf` in the same group as kernel_name.
+
+    Handles both h5 paths ('group/kernel:0') and TF variable names —
+    the variable name's group prefix is everything before the last
+    '/'-component."""
     group = kernel_name.rsplit("/", 1)[0]
     for cand in (f"{group}/{leaf}:0", f"{group}/{leaf}"):
         if cand in arrays:
             used.add(cand)
-            return arrays[cand]
+            return cand
     raise KeyError(f"no sibling '{leaf}' next to {kernel_name}")
 
 
 def _dense(arrays, *, contains, shape, used, not_contains=None):
-    """{'kernel','bias'} with the bias taken from the kernel's group."""
+    """{'kernel','bias'} NAMES, the bias taken from the kernel's group."""
     kname = _find_name(arrays, contains=contains, shape=shape, used=used,
                        not_contains=not_contains)
-    return {"kernel": arrays[kname],
-            "bias": _sibling(arrays, kname, "bias", used)}
+    return {"kernel": kname, "bias": _sibling(arrays, kname, "bias", used)}
 
 
 def _norm(arrays, *, contains, shape, used, not_contains=None):
     gname = _find_name(arrays, contains=contains + ["gamma"], shape=shape,
                        used=used, not_contains=not_contains)
-    return gname, {"gamma": arrays[gname],
+    return gname, {"gamma": gname,
                    "beta": _sibling(arrays, gname, "beta", used)}
 
 
-def import_cvt_h5(path: str, spec: CvTSpec):
-    """-> (params, state) matching models/cvt.init_cvt's structure."""
-    import jax.numpy as jnp
-
-    arrays = _load_arrays(path)
+def map_cvt_names(arrays, spec: CvTSpec):
+    """Map any {name: array-like-with-.shape} (h5 datasets OR tf
+    Variables) onto (params, state) pytrees OF DATASET NAMES matching
+    models/cvt.init_cvt's structure.  Shared by the .h5 importer and the
+    reference-model weight exporter (h5_export.py)."""
     used: set = set()
     params = {"stages": []}
     state = {"stages": []}
@@ -137,7 +140,7 @@ def import_cvt_h5(path: str, spec: CvTSpec):
                 shape=(st.kernel_size, st.kernel_size, d, 1), used=used)
             _, bn = _norm(arrays, contains=[t, f"{tag}_proj"], shape=(d,),
                           used=used)
-            p = {"conv": {"kernel": arrays[kname]}, "bn": bn}
+            p = {"conv": {"kernel": kname}, "bn": bn}
             s = {"bn": {"mean": _find(arrays,
                                       contains=[t, f"{tag}_proj", "mean"],
                                       shape=(d,), used=used),
@@ -167,12 +170,12 @@ def import_cvt_h5(path: str, spec: CvTSpec):
             kname = _find_name(arrays, contains=[t, key, "kernel"],
                                not_contains=["output"], shape=(d, h, dh),
                                used=used)
-            mha[key] = {"kernel": arrays[kname],
+            mha[key] = {"kernel": kname,
                         "bias": _sibling(arrays, kname, "bias", used)}
         oname = _find_name(arrays, contains=[t, "attention_output",
                                              "kernel"],
                            shape=(h, dh, d), used=used)
-        mha["out"] = {"kernel": arrays[oname],
+        mha["out"] = {"kernel": oname,
                       "bias": _sibling(arrays, oname, "bias", used)}
 
         _, norm1 = _norm(arrays, contains=[t, "layer_normalization"],
@@ -191,9 +194,9 @@ def import_cvt_h5(path: str, spec: CvTSpec):
                                   shape=(d * st.mlp_ratio, d), used=used)},
         }
         if st.with_cls_token:
-            cls = _find(arrays, contains=[t, "cls"],
-                        shape=(1, 1, 1, d), used=used)
-            block["cls_token"] = cls.reshape(1, 1, d)
+            # stored (1, 1, 1, d); the importer reshapes to (1, 1, d)
+            block["cls_token"] = _find(arrays, contains=[t, "cls"],
+                                       shape=(1, 1, 1, d), used=used)
         params["stages"].append({"embed": embed, "blocks": [block]})
         state["stages"].append({"blocks": [{"attn": {
             "q_proj": qs, "k_proj": ks, "v_proj": vs}}]})
@@ -215,8 +218,22 @@ def import_cvt_h5(path: str, spec: CvTSpec):
         feat = last
     params["final"] = _dense(arrays, contains=["Final_Dense", "kernel"],
                              shape=(feat, spec.num_classes), used=used)
+    return params, state
 
+
+def import_cvt_h5(path: str, spec: CvTSpec):
+    """-> (params, state) matching models/cvt.init_cvt's structure."""
     import jax
-    to_jnp = lambda x: jnp.asarray(x)
-    return (jax.tree_util.tree_map(to_jnp, params),
-            jax.tree_util.tree_map(to_jnp, state))
+    import jax.numpy as jnp
+
+    arrays = _load_arrays(path)
+    names_p, names_s = map_cvt_names(arrays, spec)
+
+    def mat(path_, name):
+        a = np.asarray(arrays[name])
+        if "cls_token" in jax.tree_util.keystr(path_):
+            a = a.reshape(1, 1, -1)
+        return jnp.asarray(a)
+
+    return (jax.tree_util.tree_map_with_path(mat, names_p),
+            jax.tree_util.tree_map_with_path(mat, names_s))
