@@ -107,6 +107,19 @@ def main(argv=None):
     p.add_argument("--out", help="output .h5 path (default: next to the "
                    "checkpoint, reference naming convention)")
 
+    p = sub.add_parser("sweep", help="hyperparameter sweep (the lineage's "
+                       "keras-tuner search, TPU-native: CvT points train "
+                       "simultaneously as vmapped slots; FFN points also "
+                       "sweep hidden width)")
+    _add_common(p)
+    p.add_argument("--lr", default="1e-3",
+                   help="comma list of learning rates")
+    p.add_argument("--dropout", default=None,
+                   help="comma list of dropout rates (CvT only)")
+    p.add_argument("--seeds", default="0", help="comma list of init seeds")
+    p.add_argument("--hidden", default=None,
+                   help="comma list of FFN hidden widths (par only)")
+
     p = sub.add_parser("compare", help="CvT vs classical-ML baselines")
     p.add_argument("--metrics-dir", required=True,
                    help="dir of Predictions_Metrics_{freq}.xlsx")
@@ -184,7 +197,8 @@ def main(argv=None):
                 if ckpt is None:
                     print(f"{freq}: no checkpoint under {paths['weights']}")
                     continue
-                params = init_ffn(jax.random.PRNGKey(0))
+                params = init_ffn(jax.random.PRNGKey(0),
+                                  hidden=cfg.ffn_hidden)
                 params, _, _, _ = load_checkpoint(ckpt, params, {})
                 out = args.out or (paths["weights"].rstrip("/") + ".h5")
                 export_ffn_reference_h5(params, out, mod=mod)
@@ -204,6 +218,23 @@ def main(argv=None):
             out = args.out or (paths["weights"].rstrip("/") + ".h5")
             export_cvt_reference_h5(params, state, spec, out, mod=mod)
             print(f"{freq}: wrote {out}")
+        return 0
+    elif args.cmd == "sweep":
+        from .train.sweep import grid_points, run_sweep, write_summary
+
+        cfg = _build_cfg(args)
+        split = lambda s, t: tuple(t(x) for x in s.split(",")) if s \
+            else (None,)
+        points = grid_points(split(args.lr, float),
+                             split(args.dropout, float),
+                             split(args.seeds, int) or (0,),
+                             split(args.hidden, int))
+        for freq in cfg.frequencies:
+            summary = run_sweep(cfg, freq, points,
+                                epochs=cfg.train.epochs)
+            path = write_summary(summary, cfg.result_dir)
+            b = summary["best"]
+            print(f"{freq}: best {b} -> {path}")
         return 0
     elif args.cmd == "compare":
         import os

@@ -199,6 +199,10 @@ class ExperimentConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     result_dir: str = "Result"
+    # hidden width of the params-only FFN variant (reference hardcodes
+    # 256, models/FFN(OnlyPar).py:46-47; a config knob here so the
+    # hyperparameter sweep runner can search it — train/sweep.py)
+    ffn_hidden: int = 256
 
     @property
     def variant_dir(self) -> str:

@@ -143,6 +143,7 @@ def _train_ffn(cfg, freq, proc, y, train_rows, val_rows, paths, epochs,
     tc = cfg.train
     key = jax.random.PRNGKey(tc.seed)
     params = init_ffn(key, proc_dim=proc.shape[1],
+                      hidden=cfg.ffn_hidden,
                       num_classes=cfg.model.num_classes)
     opt = adam_init(params)
 
@@ -250,6 +251,7 @@ def test_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
         from .models.ffn import ffn_forward, init_ffn
         params = init_ffn(jax.random.PRNGKey(0),
                           proc_dim=data["proc_scaled"].shape[1],
+                          hidden=cfg.ffn_hidden,
                           num_classes=cfg.model.num_classes)
         params, _, _, _ = load_checkpoint(ckpt, params, {})
         pred = np.asarray(ffn_forward(

@@ -110,8 +110,10 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
 
     def epoch_fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
                  n_train, val_rows, n_val, epoch0, shuffle_keys,
-                 dropout_keys):
+                 dropout_keys, lr_scale=None):
         T = y_spec.shape[0]
+        if lr_scale is None:
+            lr_scale = jnp.ones((T,), jnp.float32)
         layers = corpus.shape[0] // y_spec.shape[1]
         has_proc = proc_spec is not None
 
@@ -122,7 +124,10 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
 
         def run_epoch(carry, epoch):
             params, state, opt = carry
-            lr = jnp.float32(cfg.learning_rate) * jnp.power(
+            # per-slot base LR (hyperparameter sweeps train several LR
+            # points as slots of one vmapped program — train/sweep.py);
+            # the x{lr_decay}-every-{N}-epochs schedule is shared
+            lr_t = jnp.float32(cfg.learning_rate) * lr_scale * jnp.power(
                 jnp.float32(cfg.lr_decay),
                 jnp.floor(epoch.astype(jnp.float32) /
                           cfg.lr_decay_every))
@@ -146,7 +151,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
             def train_body(carry, s):
                 params, state, opt, acc = carry
 
-                def per_target(p, st, o, rows, m, y_s, pr_s, dkey):
+                def per_target(p, st, o, rows, m, y_s, pr_s, dkey, lr):
                     imgs, sidx = gather(rows)
                     yy = y_s[sidx]
                     proc = pr_s[sidx] if has_proc else None
@@ -157,7 +162,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                 p2, st2, o2, se, ae = jax.vmap(per_target)(
                     params, state, opt, idx[:, s], mask_all[:, s],
                     y_spec, proc_spec if has_proc else y_spec,
-                    dropout_keys)
+                    dropout_keys, lr_t)
                 nreal = jnp.sum(mask_all[:, s], axis=1)
                 live = nreal > 0
                 # fully-masked steps are bit-exact no-ops for this target
@@ -208,6 +213,10 @@ class MultiTargetTrainer:
 
     targets: list of (freq, seed, time_suffix) — repeated freqs with
     different seeds give the "(many)" variance mode.
+
+    lr_scales: optional per-slot multipliers on cfg.train.learning_rate
+    (hyperparameter sweeps — train/sweep.py — train several LR points
+    simultaneously as slots of the one vmapped program).
     """
 
     def __init__(self, cfg: ExperimentConfig,
@@ -215,7 +224,8 @@ class MultiTargetTrainer:
                  impl: str = "auto", epochs_per_call: int = 1,
                  corpus: Optional[np.ndarray] = None,
                  extra_steps: int = 0, remat: bool = True,
-                 mlp_impl: str = "xla"):
+                 mlp_impl: str = "xla",
+                 lr_scales: Optional[Sequence[float]] = None):
         from ..data.images import decode_corpus
         from ..data.labels import (LabelTable, ProcessTable,
                                    build_target_arrays)
@@ -316,6 +326,12 @@ class MultiTargetTrainer:
         self.dropout_keys = jnp.stack(dk)
         self.epoch = 0
         self.records = [[] for _ in self.targets]
+        if lr_scales is None:
+            self.lr_scales_np = np.ones(len(self.targets), np.float32)
+        else:
+            assert len(lr_scales) == len(self.targets)
+            self.lr_scales_np = np.asarray(lr_scales, np.float32)
+        self.lr_scales = jnp.asarray(self.lr_scales_np)
 
         self.epochs_per_call = epochs_per_call
         self.remat = remat
@@ -405,7 +421,7 @@ class MultiTargetTrainer:
             self.params, self.state, self.opt, tr_acc, va_acc = fn(
                 self.params, self.state, self.opt, corpus, y, proc, tr,
                 ntr, va, nva, jnp.int32(self.epoch), self.shuffle_keys,
-                self.dropout_keys)
+                self.dropout_keys, self.lr_scales)
             tr_acc = np.asarray(tr_acc)   # (E, T, 3) — forces sync
             va_acc = np.asarray(va_acc)
             dt = time.time() - t0
@@ -419,7 +435,8 @@ class MultiTargetTrainer:
                     vse, vae, vn = va_acc[e, ti]
                     self.records[ti].append(
                         [ep, float(se / n), float(ae / n),
-                         float(vse / vn), float(vae / vn), lr])
+                         float(vse / vn), float(vae / vn),
+                         lr * float(self.lr_scales_np[ti])])
             self.epoch += n_now
             if verbose:
                 mean_vl = float(np.mean(va_acc[-1, :, 0] / va_acc[-1, :, 2]))
