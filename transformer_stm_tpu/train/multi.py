@@ -239,10 +239,14 @@ class MultiTargetTrainer:
         if mlp_impl == "pallas" and len(self.targets) >= 6:
             # Mosaic's scoped-vmem accounting of the fused-MLP bwd kernel
             # grows with the vmapped width: bn=512 token blocks fit the
-            # 16 MB limit up to T=5 slots and overflow beyond (width
-            # probe, Result/multi_width_probe.json).  Halve the block
-            # unless the caller already chose one.
-            os.environ.setdefault("TSTM_MLP_TRAIN_BN", "256")
+            # 16 MB limit up to T=5 slots and overflow beyond — 16.39 MB
+            # at T=6 (width probe, Result/multi_width_probe.json).  Scale
+            # the token block down with width unless the caller already
+            # chose one: 256 restores ~0.4 MB headroom at T=6; wider
+            # vmaps get 128 since the overage grows with T.
+            os.environ.setdefault(
+                "TSTM_MLP_TRAIN_BN",
+                "256" if len(self.targets) < 8 else "128")
         tc = cfg.train
         L = cfg.data.image_layers
         labels = LabelTable.load(cfg.data.excel_labels)
