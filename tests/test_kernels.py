@@ -425,3 +425,17 @@ def test_train_dims_env_block_override(monkeypatch):
     assert _train_dims(x, w1, w2)[4] == 256
     monkeypatch.setenv("TSTM_MLP_TRAIN_BN", "100")   # rounds up to 8-mult
     assert _train_dims(x, w1, w2)[4] == 104
+
+
+def test_multi_trainer_bn_scales_with_width():
+    """The multi-target trainer scales the fused-MLP token block with the
+    vmapped width (scoped-vmem overflow grows with T — 16.39/19.37/17.89
+    MB at T=6/8/10 with bn=512, Result/multi_width_probe.json)."""
+    from transformer_stm_tpu.train.multi import _mlp_train_bn_for_width
+
+    assert _mlp_train_bn_for_width(1) is None
+    assert _mlp_train_bn_for_width(5) is None
+    assert _mlp_train_bn_for_width(6) == "256"
+    assert _mlp_train_bn_for_width(7) == "256"
+    assert _mlp_train_bn_for_width(8) == "128"
+    assert _mlp_train_bn_for_width(12) == "128"

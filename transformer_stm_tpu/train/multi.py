@@ -208,6 +208,21 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
     return epoch_fn
 
 
+def _mlp_train_bn_for_width(n_targets: int) -> Optional[str]:
+    """Token-block override for the fused train-MLP kernel at vmap width T.
+
+    Mosaic's scoped-vmem accounting of the kernel's bwd grows with the
+    vmapped width: bn=512 blocks fit the 16 MB limit up to T=5 slots and
+    overflow beyond — 16.39/19.37/17.89 MB at T=6/8/10 with bn=512
+    (Result/multi_width_probe.json).  256 restores ~0.4 MB headroom at
+    T=6; wider vmaps get 128 since the overage grows with T.  Returns
+    None (no override) below T=6.
+    """
+    if n_targets < 6:
+        return None
+    return "256" if n_targets < 8 else "128"
+
+
 class MultiTargetTrainer:
     """Orchestrates the vmapped all-targets training run.
 
@@ -236,17 +251,9 @@ class MultiTargetTrainer:
         self.targets = list(targets)
         self.spec = _spec_for(cfg)
         self.impl = impl
-        if mlp_impl == "pallas" and len(self.targets) >= 6:
-            # Mosaic's scoped-vmem accounting of the fused-MLP bwd kernel
-            # grows with the vmapped width: bn=512 token blocks fit the
-            # 16 MB limit up to T=5 slots and overflow beyond — 16.39 MB
-            # at T=6 (width probe, Result/multi_width_probe.json).  Scale
-            # the token block down with width unless the caller already
-            # chose one: 256 restores ~0.4 MB headroom at T=6; wider
-            # vmaps get 128 since the overage grows with T.
-            os.environ.setdefault(
-                "TSTM_MLP_TRAIN_BN",
-                "256" if len(self.targets) < 8 else "128")
+        bn = _mlp_train_bn_for_width(len(self.targets))
+        if mlp_impl == "pallas" and bn is not None:
+            os.environ.setdefault("TSTM_MLP_TRAIN_BN", bn)
         tc = cfg.train
         L = cfg.data.image_layers
         labels = LabelTable.load(cfg.data.excel_labels)
