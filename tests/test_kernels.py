@@ -425,6 +425,11 @@ def test_train_dims_env_block_override(monkeypatch):
     assert _train_dims(x, w1, w2)[4] == 256
     monkeypatch.setenv("TSTM_MLP_TRAIN_BN", "100")   # rounds up to 8-mult
     assert _train_dims(x, w1, w2)[4] == 104
+    # the explicit argument (threaded from MultiTargetTrainer) beats the
+    # env knob — trainers no longer mutate process env (advisor r3)
+    assert _train_dims(x, w1, w2, bn_override=128)[4] == 128
+    monkeypatch.delenv("TSTM_MLP_TRAIN_BN")
+    assert _train_dims(x, w1, w2, bn_override=256)[4] == 256
 
 
 def test_multi_trainer_bn_scales_with_width():
@@ -435,7 +440,7 @@ def test_multi_trainer_bn_scales_with_width():
 
     assert _mlp_train_bn_for_width(1) is None
     assert _mlp_train_bn_for_width(5) is None
-    assert _mlp_train_bn_for_width(6) == "256"
-    assert _mlp_train_bn_for_width(7) == "256"
-    assert _mlp_train_bn_for_width(8) == "128"
-    assert _mlp_train_bn_for_width(12) == "128"
+    assert _mlp_train_bn_for_width(6) == 256
+    assert _mlp_train_bn_for_width(7) == 256
+    assert _mlp_train_bn_for_width(8) == 128
+    assert _mlp_train_bn_for_width(12) == 128

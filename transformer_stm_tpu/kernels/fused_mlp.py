@@ -223,7 +223,7 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref,
     db2_ref[:] = jnp.sum(g, axis=0, keepdims=True)[None]
 
 
-def _train_dims(x, w1, w2):
+def _train_dims(x, w1, w2, bn_override=None):
     d = x.shape[-1]
     hd = w1.shape[1]
     out = w2.shape[1]
@@ -231,7 +231,12 @@ def _train_dims(x, w1, w2):
     for s in x.shape[:-1]:
         n *= s
     hd_pad = _round_up(hd, 128)
-    env_bn = os.environ.get("TSTM_MLP_TRAIN_BN", "")
+    # explicit arg (threaded from the trainer) beats the env knob, which
+    # remains for ad-hoc scripts; mutating process env from a trainer
+    # leaked the narrow block to later trainers in the same process
+    # (advisor r3)
+    env_bn = (str(bn_override) if bn_override
+              else os.environ.get("TSTM_MLP_TRAIN_BN", ""))
     if env_bn:
         # explicit token-block override: the multi-target trainer sets
         # this for wide vmaps, where Mosaic's scoped-vmem accounting of
@@ -283,10 +288,13 @@ def _fallback_masks(seed, shape1, shape2, rate: float):
     return m1, m2
 
 
-def make_fused_mlp_train(rate: float, interpret: bool = None):
+def make_fused_mlp_train(rate: float, interpret: bool = None,
+                         bn: int = None):
     """Returns f(x, w1, b1, w2, b2, seed) -> y with a fused custom_vjp.
 
     seed: (2,) int32 — derive from the step's dropout rng.  rate is static.
+    bn: optional explicit token-block override (wide-vmap callers pass the
+    width-scaled size; None keeps the auto/env choice).
     """
     interp = _INTERPRET if interpret is None else interpret
 
@@ -308,8 +316,8 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
             return (y.reshape(*orig[:-1], w2.shape[1]).astype(x.dtype),
                     (x, w1, b1, w2, b2, seed))
 
-        n, d, hd, out, bn, n_pad, d_pad, hd_pad, out_pad = _train_dims(
-            x, w1, w2)
+        n, d, hd, out, bn_blk, n_pad, d_pad, hd_pad, out_pad = _train_dims(
+            x, w1, w2, bn)
         xf = jnp.pad(x.reshape(n, d), ((0, n_pad - n), (0, d_pad - d)))
         w1p = jnp.pad(w1, ((0, d_pad - d), (0, hd_pad - hd)))
         b1p = jnp.pad(b1.astype(jnp.float32),
@@ -319,13 +327,13 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                       (0, out_pad - out)).reshape(1, out_pad)
         y = pl.pallas_call(
             functools.partial(_mlp_train_fwd_kernel, rate=rate),
-            grid=(n_pad // bn,),
+            grid=(n_pad // bn_blk,),
             in_specs=[
                 # (1, 1, 2) SMEM seed block indexed by the token-block
                 # axis; see _seed_table for the layout rationale
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                pl.BlockSpec((bn_blk, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -336,7 +344,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 pl.BlockSpec((1, out_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((bn_blk, out_pad), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), x.dtype),
             cost_estimate=pl.CostEstimate(
@@ -345,7 +353,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                 transcendentals=2 * n * hd,
             ),
             interpret=interp,
-        )(_seed_table(seed, n_pad // bn), xf, w1p, b1p, w2p, b2p)
+        )(_seed_table(seed, n_pad // bn_blk), xf, w1p, b1p, w2p, b2p)
         return (y[:n, :out].reshape(*x.shape[:-1], out),
                 (x, w1, b1, w2, b2, seed))
 
@@ -370,8 +378,8 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                     jnp.sum(g, axis=0).astype(b2.dtype),
                     jnp.zeros(seed.shape, jax.dtypes.float0))
 
-        n, d, hd, out, bn, n_pad, d_pad, hd_pad, out_pad = _train_dims(
-            x, w1, w2)
+        n, d, hd, out, bn_blk, n_pad, d_pad, hd_pad, out_pad = _train_dims(
+            x, w1, w2, bn)
         xf = jnp.pad(x.reshape(n, d), ((0, n_pad - n), (0, d_pad - d)))
         gf = jnp.pad(gy.reshape(n, out), ((0, n_pad - n),
                                           (0, out_pad - out)))
@@ -379,16 +387,16 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
         b1p = jnp.pad(b1.astype(jnp.float32),
                       (0, hd_pad - hd)).reshape(1, hd_pad)
         w2p = jnp.pad(w2, ((0, hd_pad - hd), (0, out_pad - out)))
-        nb = n_pad // bn
+        nb = n_pad // bn_blk
         dx, dw1, db1, dw2, db2 = pl.pallas_call(
             functools.partial(_mlp_train_bwd_kernel, rate=rate),
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                pl.BlockSpec((bn_blk, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, out_pad), lambda i: (i, 0),
+                pl.BlockSpec((bn_blk, out_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, hd_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -398,7 +406,7 @@ def make_fused_mlp_train(rate: float, interpret: bool = None):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((bn, d_pad), lambda i: (i, 0),
+                pl.BlockSpec((bn_blk, d_pad), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 # per-block weight/bias grad slots (summed below):
                 # no revisit accumulation -> correct under vmap

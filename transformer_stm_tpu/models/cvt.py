@@ -69,7 +69,7 @@ def init_cvt(key, spec: CvTSpec, dtype=jnp.float32):
 
 def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
                 train: bool = False, rng=None, impl: str = "auto",
-                mlp_impl=None, axis_name=None,
+                mlp_impl=None, mlp_bn=None, axis_name=None,
                 return_features: bool = False, remat: bool = False):
     """images: (B, H, W, C) float; proc: (B, proc_dim) or None.
 
@@ -103,7 +103,7 @@ def cvt_forward(params, state, spec: CvTSpec, images, proc=None, *,
                     with_cls_token=_st.with_cls_token,
                     dropout_rate=_st.dropout_rate, train=train,
                     rng=block_rng, impl=impl, mlp_impl=mlp_impl,
-                    axis_name=axis_name)
+                    mlp_bn=mlp_bn, axis_name=axis_name)
             if remat:
                 block_fn = jax.checkpoint(block_fn)
             x, cls, bs = block_fn(sp["blocks"][d], ss["blocks"][d], x,

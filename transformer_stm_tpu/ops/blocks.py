@@ -40,7 +40,7 @@ def init_mlp(key, dim: int, hidden_dim: int, out_dim: Optional[int] = None,
 
 
 def mlp(params, x, *, dropout_rate: float = 0.1, train: bool = False,
-        rng=None, impl: str = "auto"):
+        rng=None, impl: str = "auto", mlp_bn: int = None):
     """Dense->GELU->Drop->Dense->Drop.  In inference the two matmuls + GELU
     fuse into one Pallas kernel on TPU (identical numerics).  In training,
     impl='pallas' routes through the fused custom_vjp kernel
@@ -61,7 +61,7 @@ def mlp(params, x, *, dropout_rate: float = 0.1, train: bool = False,
         seed = (jnp.zeros((2,), jnp.int32) if rate == 0.0
                 else jax.random.randint(rng, (2,), 0, 2 ** 31 - 1,
                                         jnp.int32))
-        f = make_fused_mlp_train(rate)
+        f = make_fused_mlp_train(rate, bn=mlp_bn)
         return f(x, params["fc1"]["kernel"], params["fc1"]["bias"],
                  params["fc2"]["kernel"], params["fc2"]["bias"], seed)
     if impl in ("pallas", "flash") and not train:
@@ -107,7 +107,7 @@ def conv_transformer_block(params, state, x, *, num_heads: int,
                            with_cls_token: bool = False,
                            dropout_rate: float = 0.1, train: bool = False,
                            rng=None, impl: str = "auto", mlp_impl=None,
-                           axis_name=None):
+                           mlp_bn: int = None, axis_name=None):
     """x: (B, H, W, C) -> ((B, H, W, C), cls (B, 1, C) | None, new_state).
 
     Mirrors reference models/CvT(Par).py:261-289.
@@ -135,7 +135,8 @@ def conv_transformer_block(params, state, x, *, num_heads: int,
     y = layer_norm(params["norm1"], tokens, eps=1e-6)
     tokens = tokens + mlp(params["mlp"], y, dropout_rate=dropout_rate,
                           train=train, rng=rng_mlp,
-                          impl=mlp_impl if mlp_impl is not None else impl)
+                          impl=mlp_impl if mlp_impl is not None else impl,
+                          mlp_bn=mlp_bn)
 
     new_state = {"attn": attn_state}
     if with_cls_token:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import nullcontext as _null_ctx
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -57,7 +58,8 @@ def _tree_where(pred_t, new, old):
 def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                      rows_max: int, n_val_steps: int, impl: str = "auto",
                      epochs_per_call: int = 1, remat: bool = True,
-                     mlp_impl: str = "xla", val_batch: Optional[int] = None):
+                     mlp_impl: str = "xla", mlp_bn: Optional[int] = None,
+                     val_batch: Optional[int] = None):
     """Builds the one-dispatch multi-target epoch program.
 
     Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
@@ -86,7 +88,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                 pp, sst, spec, imgs.astype(compute_dtype),
                 proc.astype(compute_dtype) if proc is not None else None,
                 train=True, rng=rng, impl=impl, mlp_impl=mlp_impl,
-                remat=remat)
+                mlp_bn=mlp_bn, remat=remat)
             pred = out.reshape(-1).astype(jnp.float32)
             k = jnp.maximum(jnp.sum(mask), 1.0)
             se = jnp.sum(jnp.square(pred - yy) * mask)
@@ -208,7 +210,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
     return epoch_fn
 
 
-def _mlp_train_bn_for_width(n_targets: int) -> Optional[str]:
+def _mlp_train_bn_for_width(n_targets: int) -> Optional[int]:
     """Token-block override for the fused train-MLP kernel at vmap width T.
 
     Mosaic's scoped-vmem accounting of the kernel's bwd grows with the
@@ -216,11 +218,13 @@ def _mlp_train_bn_for_width(n_targets: int) -> Optional[str]:
     overflow beyond — 16.39/19.37/17.89 MB at T=6/8/10 with bn=512
     (Result/multi_width_probe.json).  256 restores ~0.4 MB headroom at
     T=6; wider vmaps get 128 since the overage grows with T.  Returns
-    None (no override) below T=6.
+    None (no override) below T=6.  Threaded explicitly through
+    make_multi_epoch -> cvt_forward -> mlp (NOT via process env, which
+    leaked a narrow block into later trainers in one process, advisor r3).
     """
     if n_targets < 6:
         return None
-    return "256" if n_targets < 8 else "128"
+    return 256 if n_targets < 8 else 128
 
 
 class MultiTargetTrainer:
@@ -251,9 +255,8 @@ class MultiTargetTrainer:
         self.targets = list(targets)
         self.spec = _spec_for(cfg)
         self.impl = impl
-        bn = _mlp_train_bn_for_width(len(self.targets))
-        if mlp_impl == "pallas" and bn is not None:
-            os.environ.setdefault("TSTM_MLP_TRAIN_BN", bn)
+        self.mlp_bn = (_mlp_train_bn_for_width(len(self.targets))
+                       if mlp_impl == "pallas" else None)
         tc = cfg.train
         L = cfg.data.image_layers
         labels = LabelTable.load(cfg.data.excel_labels)
@@ -353,7 +356,8 @@ class MultiTargetTrainer:
                              rows_max=self.rows_max,
                              n_val_steps=self.n_val_steps, impl=impl,
                              epochs_per_call=epochs_per_call, remat=remat,
-                             val_batch=self.val_batch, mlp_impl=mlp_impl),
+                             val_batch=self.val_batch, mlp_impl=mlp_impl,
+                             mlp_bn=self.mlp_bn),
             donate_argnums=(0, 1, 2))
         self._dev = None
 
@@ -410,8 +414,26 @@ class MultiTargetTrainer:
 
     def fit(self, epochs: int, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 100, verbose: bool = True,
-            log_every: int = 1):
-        corpus, y, proc, tr, ntr, va, nva = self._upload()
+            log_every: int = 1, watchdog=None):
+        """watchdog: optional train.watchdog.HangWatchdog (or truthy to
+        build one from TSTM_WATCHDOG_S).  The tunnelled TPU's failure mode
+        is a silent futex wedge inside a dispatch — the watchdog force-
+        exits with STALL_EXIT_CODE so a supervising retry loop resumes
+        from the checkpoint (SURVEY §5.3; previously an external shell
+        script's job, VERDICT r3 weak #7)."""
+        from .watchdog import HangWatchdog, watchdog_from_env
+
+        if watchdog is True:
+            watchdog = watchdog_from_env()
+        if isinstance(watchdog, HangWatchdog):
+            watchdog.start()
+        wd_dispatch = (watchdog.dispatch if watchdog
+                       else (lambda label: _null_ctx()))
+
+        # corpus upload is the first device contact — a dead tunnel wedges
+        # right here (device-init backoff), so it gets the first deadline
+        with wd_dispatch("corpus upload / device init"):
+            corpus, y, proc, tr, ntr, va, nva = self._upload()
         E = self.epochs_per_call
         while self.epoch < epochs:
             n_now = min(E, epochs - self.epoch)
@@ -425,16 +447,17 @@ class MultiTargetTrainer:
                     rows_max=self.rows_max, n_val_steps=self.n_val_steps,
                     impl=self.impl, epochs_per_call=n_now,
                     remat=self.remat, val_batch=self.val_batch,
-                    mlp_impl=self.mlp_impl),
+                    mlp_impl=self.mlp_impl, mlp_bn=self.mlp_bn),
                     donate_argnums=(0, 1, 2))
             else:
                 fn = self._fn
-            self.params, self.state, self.opt, tr_acc, va_acc = fn(
-                self.params, self.state, self.opt, corpus, y, proc, tr,
-                ntr, va, nva, jnp.int32(self.epoch), self.shuffle_keys,
-                self.dropout_keys, self.lr_scales)
-            tr_acc = np.asarray(tr_acc)   # (E, T, 3) — forces sync
-            va_acc = np.asarray(va_acc)
+            with wd_dispatch(f"multi-epoch @ {self.epoch}"):
+                self.params, self.state, self.opt, tr_acc, va_acc = fn(
+                    self.params, self.state, self.opt, corpus, y, proc, tr,
+                    ntr, va, nva, jnp.int32(self.epoch), self.shuffle_keys,
+                    self.dropout_keys, self.lr_scales)
+                tr_acc = np.asarray(tr_acc)   # (E, T, 3) — forces sync
+                va_acc = np.asarray(va_acc)
             dt = time.time() - t0
             for e in range(n_now):
                 ep = self.epoch + e
@@ -457,10 +480,14 @@ class MultiTargetTrainer:
             if checkpoint_dir and (self.epoch % checkpoint_every == 0
                                    or self.epoch >= epochs):
                 t1 = time.time()
-                self.save(checkpoint_dir)
+                # the save's device_get can wedge on a dead tunnel too
+                with wd_dispatch(f"checkpoint @ {self.epoch}"):
+                    self.save(checkpoint_dir)
                 if verbose:
                     print(f"  checkpoint @ {self.epoch} "
                           f"({time.time() - t1:.0f}s)", flush=True)
+        if isinstance(watchdog, HangWatchdog):
+            watchdog.stop()
         return self
 
     # -- artifact export ---------------------------------------------------
