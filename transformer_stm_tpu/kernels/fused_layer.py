@@ -107,6 +107,60 @@ def _attn_layer_kernel(x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wk_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+class FusedLayerVMEMError(ValueError):
+    """Raised when a fused inference-layer kernel cannot fit the scoped
+    VMEM budget at any image-block size (including bi=1).  Callers should
+    route to the composable impl='small' path instead of compiling a
+    kernel Mosaic will reject (advisor r3)."""
+
+
+def _attn_vmem_est(bi: int, t_pad: int, e: int, hd: int, it: int) -> int:
+    """Scoped-VMEM estimate for _attn_layer_kernel at image-block bi
+    (calibrated ~1.26x over the compiler's accounting, see chooser)."""
+    rr = bi * t_pad
+    return (4 * rr * e * it          # x in + y out, double-buffered
+            + 4 * rr * hd * it       # q/k/v/o scratch
+            + rr * e * 4             # xn f32 temp
+            + 4 * e * hd * it        # packed weights
+            + 2 * bi * t_pad * t_pad * 4)   # live score buffers
+
+
+def _layer_vmem_est(bi: int, t_pad: int, e: int, hd: int, hidden: int,
+                    it: int, mlp_chunks: int) -> int:
+    """Estimate for the merged _layer_kernel (attn est + MLP terms)."""
+    rr = bi * t_pad
+    return (_attn_vmem_est(bi, t_pad, e, hd, it)
+            + 2 * e * hidden * it          # MLP weights
+            + rr * e * 4                   # z f32
+            + 2 * max(rr // mlp_chunks, 8) * hidden * 4)   # hidden chunk
+
+
+_VMEM_ADMIT = 19 << 20   # estimated ~= 15M actual (1.26x calibration)
+
+
+def fused_layer_fits(t_pad: int, e: int, heads: int, dh: int, hidden: int,
+                     itemsize: int = 2, merged: bool = False) -> bool:
+    """True iff the fused inference-layer kernels fit scoped VMEM at the
+    minimum image block (bi=1) for these model dims.  vit_forward's auto
+    routing gates on this so large-token or wider-than-ViT-B configs fall
+    back to the composable streaming path instead of failing to compile."""
+    hd = heads * dh
+    if merged:
+        return _layer_vmem_est(1, t_pad, e, hd, hidden, itemsize,
+                               2) <= _VMEM_ADMIT
+    # two-kernel path: attn kernel at bi=1 plus the MLP kernel at its
+    # smallest row block (8)
+    return (_attn_vmem_est(1, t_pad, e, hd, itemsize) <= _VMEM_ADMIT
+            and _ln_mlp_vmem_est(8, e, hidden, itemsize) <= _VMEM_ADMIT)
+
+
+def _ln_mlp_vmem_est(bn: int, e: int, hd: int, it: int) -> int:
+    """Estimate for _ln_mlp_kernel at row-block bn: x/y blocks (double-
+    buffered), whole weights resident, f32 hidden intermediate."""
+    return (4 * bn * e * it + 2 * e * hd * it + bn * e * 4
+            + 2 * bn * hd * 4)
+
+
 def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
                      eps: float = 1e-6, bi: int = None):
     """x: (B * t_pad, E) folded tokens -> same shape, y = x + MHA(LN1(x)).
@@ -127,19 +181,22 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
         # bi=8 which overflowed the 16M limit), so admit up to 19M
         # estimated ~= 15M actual
         it = x.dtype.itemsize
-        bi = 1
+        bi = None
         for cand in (8, 4, 2, 1):
             if b % cand:
                 continue
-            rr = cand * t_pad
-            est = (4 * rr * e * it          # x in + y out, double-buffered
-                   + 4 * rr * hd * it       # q/k/v/o scratch
-                   + rr * e * 4             # xn f32 temp
-                   + 4 * e * hd * it        # packed weights
-                   + 2 * cand * t_pad * t_pad * 4)   # live score buffers
-            if est <= (19 << 20):
+            if _attn_vmem_est(cand, t_pad, e, hd, it) <= _VMEM_ADMIT:
                 bi = cand
                 break
+        if bi is None:
+            # even bi=1 overflows scoped VMEM — refuse rather than hand
+            # Mosaic a kernel it will reject (advisor r3); callers check
+            # fused_layer_fits() and route to impl='small' instead
+            raise FusedLayerVMEMError(
+                f"attn_layer_infer: t_pad={t_pad} E={e} HD={hd} overflows "
+                f"scoped VMEM even at bi=1 "
+                f"({_attn_vmem_est(1, t_pad, e, hd, it)} est > "
+                f"{_VMEM_ADMIT}); use the composable impl='small' path")
     r = bi * t_pad
 
     def packed(p, mul=1.0):
@@ -252,19 +309,18 @@ def vit_layer_infer(x, norm1, attn, norm2, mlp, *, t_pad: int,
 
     it = x.dtype.itemsize
     if bi is None:
-        bi = 1
         for cand in (8, 4, 2, 1):
             if b % cand:
                 continue
-            rr = cand * t_pad
-            est = (4 * rr * e * it + 4 * rr * hd * it + rr * e * 4
-                   + 4 * e * hd * it + 2 * cand * t_pad * t_pad * 4
-                   + 2 * e * hidden * it          # MLP weights
-                   + rr * e * 4                   # z f32
-                   + 2 * (rr // mlp_chunks) * hidden * 4)   # hidden chunk
-            if est <= (19 << 20):
+            if _layer_vmem_est(cand, t_pad, e, hd, hidden, it,
+                               mlp_chunks) <= _VMEM_ADMIT:
                 bi = cand
                 break
+        if bi is None:
+            raise FusedLayerVMEMError(
+                f"vit_layer_infer: t_pad={t_pad} E={e} HD={hd} "
+                f"hidden={hidden} overflows scoped VMEM even at bi=1; "
+                f"use the composable impl='small' path")
     r = bi * t_pad
     while mlp_chunks > 1 and (r % mlp_chunks or (r // mlp_chunks) % 8):
         mlp_chunks -= 1   # chunk rows must stay 8-sublane aligned
@@ -333,12 +389,21 @@ def ln_mlp_infer(x, norm2, mlp, *, eps: float = 1e-6, bn: int = 512):
     """
     n, e = x.shape
     hd = mlp["fc1"]["kernel"].shape[1]
-    # largest row-block <= bn that divides n (n is a multiple of 8: the
-    # caller folds B * t_pad rows with t_pad 8-aligned)
+    it = x.dtype.itemsize
+    # largest row-block <= bn that divides n AND fits scoped VMEM (n is a
+    # multiple of 8: the caller folds B * t_pad rows with t_pad 8-aligned)
+    chosen = None
     for cand in (bn, 512, 256, 128, 64, 32, 16, 8):
-        if cand <= bn and n % cand == 0:
-            bn = cand
+        if (cand <= bn and n % cand == 0
+                and _ln_mlp_vmem_est(cand, e, hd, it) <= _VMEM_ADMIT):
+            chosen = cand
             break
+    if chosen is None:
+        raise FusedLayerVMEMError(
+            f"ln_mlp_infer: E={e} hidden={hd} overflows scoped VMEM even "
+            f"at bn=8 (resident MLP weights too large); use the "
+            f"composable path")
+    bn = chosen
 
     g2 = norm2["gamma"].astype(jnp.float32).reshape(1, e)
     be2 = norm2["beta"].astype(jnp.float32).reshape(1, e)

@@ -86,6 +86,20 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
         import os
 
         impl = os.environ.get("TSTM_VIT_INFER", "fused")
+        if impl in ("fused", "fused2"):
+            # large-token / wider-than-ViT-B configs overflow the fused
+            # kernels' scoped VMEM even at bi=1 — fall back to the
+            # streaming composable path instead of failing to compile
+            from ..kernels.fused_layer import fused_layer_fits
+
+            t = (images.shape[1] // spec.patch_size) * \
+                (images.shape[2] // spec.patch_size) + 1
+            if not fused_layer_fits(((t + 7) // 8) * 8, spec.embed_dim,
+                                    spec.num_heads,
+                                    spec.embed_dim // spec.num_heads,
+                                    spec.embed_dim * spec.mlp_ratio, 2,
+                                    merged=(impl == "fused2")):
+                impl = "small"
     if impl in ("fused", "fused2"):
         if train:
             raise ValueError(f"impl={impl!r} is inference-only")
