@@ -185,7 +185,18 @@ def main(argv=None):
                                       load_reference_module)
 
         cfg = _build_cfg(args)
+
+        def out_for(paths, freq):
+            # a single --out with several frequencies would silently
+            # overwrite itself per iteration (advisor r3) — suffix it
+            if args.out and len(cfg.frequencies) > 1:
+                root, ext = os.path.splitext(args.out)
+                return f"{root}_{freq}{ext or '.h5'}"
+            return args.out or (paths["weights"].rstrip("/") + ".h5")
+
         if cfg.inputs == "par":
+            import numpy as np
+
             from .models.ffn import init_ffn
             from .train.h5_export import (REF_FFN,
                                           export_ffn_reference_h5)
@@ -197,10 +208,21 @@ def main(argv=None):
                 if ckpt is None:
                     print(f"{freq}: no checkpoint under {paths['weights']}")
                     continue
+                # derive the layer dims from the checkpoint itself — the
+                # harness trains with proc_dim from the process table and
+                # num_classes from cfg.model, not the init defaults
+                # (advisor r3); load_checkpoint rejects shape mismatches
+                with np.load(ckpt) as z:
+                    fc1 = next(z[k] for k in z.files
+                               if "fc1" in k and "kernel" in k)
+                    final = next(z[k] for k in z.files
+                                 if "final" in k and "kernel" in k)
                 params = init_ffn(jax.random.PRNGKey(0),
-                                  hidden=cfg.ffn_hidden)
+                                  proc_dim=fc1.shape[0],
+                                  hidden=fc1.shape[1],
+                                  num_classes=final.shape[1])
                 params, _, _, _ = load_checkpoint(ckpt, params, {})
-                out = args.out or (paths["weights"].rstrip("/") + ".h5")
+                out = out_for(paths, freq)
                 export_ffn_reference_h5(params, out, mod=mod)
                 print(f"{freq}: wrote {out}")
             return 0
@@ -215,7 +237,7 @@ def main(argv=None):
                 continue
             params, state = init_cvt(jax.random.PRNGKey(0), spec)
             params, state, _, _ = load_checkpoint(ckpt, params, state)
-            out = args.out or (paths["weights"].rstrip("/") + ".h5")
+            out = out_for(paths, freq)
             export_cvt_reference_h5(params, state, spec, out, mod=mod)
             print(f"{freq}: wrote {out}")
         return 0
