@@ -2,6 +2,10 @@
 # Resilient driver for the 20-target run: the axon tunnel stalls/crashes
 # sporadically (see CLAUDE.md); train_all.py checkpoints every N epochs and
 # resumes from the latest stacked checkpoint, so just restart until done.
+# Silent wedges (futex-wait, no exit) are handled IN the framework now:
+# train/watchdog.py force-exits the trainer with code 75 when a dispatch
+# outlives its deadline (TSTM_WATCHDOG_S, default 720), and this loop's
+# retry picks it up — scripts/stall_watchdog.sh is no longer required.
 EPOCHS=${1:-1000}
 EPC=${2:-10}
 LOG=${3:-/tmp/train_all.log}

@@ -63,6 +63,14 @@ def main():
         else:
             base_seed = int(seed_env)
     slots = [(f, overrides.get(f, base_seed), None) for f in targets]
+    # In-framework hang watchdog (train/watchdog.py): the axon tunnel
+    # wedges silently (futex-wait) mid-dispatch or in device-init backoff;
+    # the watchdog force-exits with code 75 and the supervisor's retry
+    # loop resumes from the checkpoint.  TSTM_WATCHDOG_S=0 disables.
+    from transformer_stm_tpu.train.watchdog import watchdog_from_env
+    wd = watchdog_from_env(default_timeout=720.0)
+    if wd is not None:
+        wd.start()
     tr = MultiTargetTrainer(cfg, slots, epochs_per_call=epc, impl=impl,
                             mlp_impl=mlp_impl)
     from transformer_stm_tpu.train.multi import chunk_checkpoint_dir
@@ -74,15 +82,20 @@ def main():
     print(f"targets={len(targets)} steps/epoch={tr.steps_per_epoch} "
           f"rows_max={tr.rows_max}", flush=True)
     tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=20,
-           verbose=True)
+           verbose=True, watchdog=wd)
     print(f"training done in {(time.time() - t0) / 60:.1f} min", flush=True)
-    tr.export(verbose=True)
+    from contextlib import nullcontext
+    wd_ctx = (wd.dispatch if wd is not None
+              else (lambda label: nullcontext()))
+    with wd_ctx("weight export"):
+        tr.export(verbose=True)
 
     # evaluate every target through the standard harness
     from transformer_stm_tpu.harness import test_target
     results = {}
     for f in targets:
-        res = test_target(cfg, f, verbose=True)
+        with wd_ctx(f"eval {f}"):
+            res = test_target(cfg, f, verbose=True)
         results[f] = {"r2": res["r2"], "mse": res["mse"], "mae": res["mae"]}
     # merge into the cumulative summary — chunks must not clobber each other
     summary_path = "Result/multi_run_summary.json"
