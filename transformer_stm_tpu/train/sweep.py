@@ -37,7 +37,8 @@ import numpy as np
 from ..config import ExperimentConfig
 
 __all__ = ["grid_points", "sweep_cvt", "sweep_ffn", "run_sweep",
-           "write_summary"]
+           "write_summary", "config_grid_points", "config_random_points",
+           "run_config_sweep"]
 
 
 def grid_points(lrs: Sequence[float], dropouts: Sequence[float] = (None,),
@@ -94,7 +95,12 @@ def sweep_cvt(cfg: ExperimentConfig, freq: str, points: Sequence[Dict],
                 cfg, model=_with_dropout(cfg.model, dropout))
         for chunk_start in range(0, len(idxs), max_group):
             chunk = idxs[chunk_start:chunk_start + max_group]
-            targets = [(freq, points[i]["seed"], i + 1) for i in chunk]
+            # "sweep{i}" (not the bare int a "(many)" repeat run uses)
+            # keeps sweep artifacts in their own _{time} namespace, so a
+            # sweep and a variance study on the same freq/variant never
+            # overwrite each other (advisor r3)
+            targets = [(freq, points[i]["seed"], f"sweep{i + 1}")
+                       for i in chunk]
             scales = [points[i]["lr"] / g_cfg.train.learning_rate
                       for i in chunk]
             tr = MultiTargetTrainer(g_cfg, targets, impl=impl,
@@ -126,8 +132,9 @@ def sweep_ffn(cfg: ExperimentConfig, freq: str, points: Sequence[Dict],
               epochs: Optional[int] = None,
               verbose: bool = True) -> List[Dict]:
     """Sequential FFN sweep through the standard harness: each point is
-    a full train+eval at its (lr, seed[, hidden]); artifacts carry the
-    point index as the _{time} suffix so runs never overwrite."""
+    a full train+eval at its (lr, seed[, hidden]); artifacts carry a
+    sweep-specific _{time} suffix ("sweep{i}") so points never overwrite
+    each other nor any "(many)" repeat run's numbered artifacts."""
     from ..data.labels import LabelTable, ProcessTable
     from ..harness import test_target, train_target
 
@@ -144,9 +151,10 @@ def sweep_ffn(cfg: ExperimentConfig, freq: str, points: Sequence[Dict],
         p_cfg = dataclasses.replace(cfg, train=tc)
         if "hidden" in p:
             p_cfg = dataclasses.replace(p_cfg, ffn_hidden=p["hidden"])
-        train_target(p_cfg, freq, labels, procs, time=i + 1,
+        # sweep-specific _{time} namespace (see sweep_cvt)
+        train_target(p_cfg, freq, labels, procs, time=f"sweep{i + 1}",
                      verbose=False)
-        res = test_target(p_cfg, freq, labels, procs, time=i + 1,
+        res = test_target(p_cfg, freq, labels, procs, time=f"sweep{i + 1}",
                           verbose=False)
         results.append({**p, "val_mse": float(res["mse"]),
                         "val_mae": float(res["mae"]),
@@ -182,3 +190,66 @@ def write_summary(summary: Dict, result_dir: str) -> str:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     return path
+
+
+# --- generic dotted-path config sweep ---------------------------------------
+# Folded from the former tools/sweep.py (advisor r3: two sweep APIs with
+# conflicting grid_points signatures).  This is the free-form variant —
+# arbitrary TrainConfig/CvTSpec fields by dotted path, arbitrary trial
+# function — alongside the protocol-shaped run_sweep above.
+
+def _set_path(cfg, path: str, value):
+    """dataclasses.replace along a dotted path, e.g. 'train.batch_size'."""
+    parts = path.split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{parts[0]: value})
+    sub = getattr(cfg, parts[0])
+    return dataclasses.replace(
+        cfg, **{parts[0]: _set_path(sub, ".".join(parts[1:]), value)})
+
+
+def config_grid_points(space: Dict[str, Sequence]) -> List[Dict]:
+    """{dotted.path: candidates} -> full cross product of assignments."""
+    keys = list(space)
+    return [dict(zip(keys, combo))
+            for combo in itertools.product(*(space[k] for k in keys))]
+
+
+def config_random_points(space: Dict[str, Sequence], n: int,
+                         seed: int = 0) -> List[Dict]:
+    import random
+
+    rng = random.Random(seed)
+    return [{k: rng.choice(list(v)) for k, v in space.items()}
+            for _ in range(n)]
+
+
+def run_config_sweep(base_cfg: ExperimentConfig, space: Dict[str, Sequence],
+                     trial_fn, mode: str = "grid", n_random: int = 10,
+                     seed: int = 0, objective: str = "val_loss",
+                     minimize: bool = True,
+                     out_path: Optional[str] = None) -> List[Dict]:
+    """trial_fn(cfg) -> metrics dict.  Returns trials sorted best-first;
+    optionally writes an xlsx leaderboard (the keras-tuner-style search of
+    the reference lineage, old_codes/BayConvT(OnlyPar).py:191)."""
+    points = (config_grid_points(space) if mode == "grid"
+              else config_random_points(space, n_random, seed))
+    trials = []
+    for i, point in enumerate(points):
+        cfg = base_cfg
+        for path, value in point.items():
+            cfg = _set_path(cfg, path, value)
+        metrics = trial_fn(cfg)
+        trials.append({"trial": i, **point, **metrics})
+        print(f"trial {i + 1}/{len(points)} {point} -> "
+              f"{objective}={metrics.get(objective)}")
+    trials.sort(key=lambda t: (t.get(objective) if minimize
+                               else -t.get(objective)))
+    if out_path:
+        from ..data.xlsx import write_xlsx
+
+        cols = ["trial"] + list(space) + sorted(
+            k for k in trials[0] if k != "trial" and k not in space)
+        rows = [cols] + [[t.get(c) for c in cols] for t in trials]
+        write_xlsx(out_path, {"sweep": rows})
+    return trials
