@@ -63,16 +63,33 @@ def main():
         else:
             base_seed = int(seed_env)
     slots = [(f, overrides.get(f, base_seed), None) for f in targets]
+    # A/B knob: TSTM_MULTI_AUGMENT=1 fuses on-device flip/rot90/crop/
+    # brightness/contrast into every train step (data/augment.py); the
+    # reference's counterpart is the offline tools/Rotate.py whose outputs
+    # its shipped dataset does not include, so the protocol default is off.
+    augment = None
+    if os.environ.get("TSTM_MULTI_AUGMENT", "") == "1":
+        from transformer_stm_tpu.data.augment import AugmentConfig
+        augment = AugmentConfig()
+        print("on-device augmentation ON", flush=True)
     # In-framework hang watchdog (train/watchdog.py): the axon tunnel
     # wedges silently (futex-wait) mid-dispatch or in device-init backoff;
     # the watchdog force-exits with code 75 and the supervisor's retry
     # loop resumes from the checkpoint.  TSTM_WATCHDOG_S=0 disables.
+    from contextlib import nullcontext
+
     from transformer_stm_tpu.train.watchdog import watchdog_from_env
     wd = watchdog_from_env(default_timeout=720.0)
     if wd is not None:
         wd.start()
-    tr = MultiTargetTrainer(cfg, slots, epochs_per_call=epc, impl=impl,
-                            mlp_impl=mlp_impl)
+    wd_ctx = (wd.dispatch if wd is not None
+              else (lambda label: nullcontext()))
+    # construction makes the process's FIRST device contact (jnp.asarray
+    # of the lr scales/keys) — a dead tunnel wedges right there, before
+    # fit() arms any deadline, so arm one here too
+    with wd_ctx("trainer init / first device contact"):
+        tr = MultiTargetTrainer(cfg, slots, epochs_per_call=epc, impl=impl,
+                                mlp_impl=mlp_impl, augment=augment)
     from transformer_stm_tpu.train.multi import chunk_checkpoint_dir
     # seed is part of the checkpoint key: a reseeded rerun must never
     # resume the old bad-optimum checkpoint (VERDICT r2 weak #3)
@@ -84,9 +101,6 @@ def main():
     tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=20,
            verbose=True, watchdog=wd)
     print(f"training done in {(time.time() - t0) / 60:.1f} min", flush=True)
-    from contextlib import nullcontext
-    wd_ctx = (wd.dispatch if wd is not None
-              else (lambda label: nullcontext()))
     with wd_ctx("weight export"):
         tr.export(verbose=True)
 

@@ -204,3 +204,18 @@ def test_multi_impl_small_matches_xla(tmp_path):
                                        err_msg=s)
     finally:
         os.environ.pop("TSTM_PALLAS_INTERPRET", None)
+
+
+def test_multi_trainer_with_augmentation(tmp_path):
+    """augment= fuses on-device augmentation into the vmapped multi-target
+    step; training stays finite and records advance."""
+    from transformer_stm_tpu.data.augment import AugmentConfig
+    from transformer_stm_tpu.train.multi import MultiTargetTrainer
+
+    cfg = _cfg(tmp_path)
+    tr = MultiTargetTrainer(cfg, [("50HZ_Bm", 0, None)], impl="xla",
+                            mlp_impl="xla",
+                            augment=AugmentConfig(crop_padding=2))
+    tr.fit(epochs=1, verbose=False)
+    assert len(tr.records[0]) == 1
+    assert all(np.isfinite(v) for v in tr.records[0][0][1:])

@@ -129,3 +129,27 @@ def test_mesh_all_devices_default():
     mesh = build_mesh(MeshConfig())
     assert mesh.shape["data"] == len(jax.devices())
     assert mesh.shape["model"] == 1
+
+
+@needs_8
+def test_sharded_training_with_augmentation():
+    """BASELINE config 4's composition: DP sharding + on-device
+    flip/rot90/crop/jitter fused into the SAME jitted step.  Trains on
+    the 8-device mesh with finite decreasing loss (augmented labels are
+    rotation-invariant: global image mean)."""
+    from transformer_stm_tpu.data.augment import AugmentConfig
+
+    images, proc, labels = _toy(n=128, seed=11)
+    labels = images.astype(np.float32).mean((1, 2, 3)) / 255.0
+    cfg = TrainConfig(epochs=4, batch_size=64, learning_rate=3e-3, seed=1)
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    trainer = ShardedTrainer(TINY, cfg, mesh, tensor_parallel=False,
+                             impl="xla",
+                             augment=AugmentConfig(crop_padding=2,
+                                                   brightness=0.05,
+                                                   contrast=0.05))
+    trainer.upload(images, proc, labels)
+    losses = [trainer.train_epoch_device_scan(len(labels), e)["loss"]
+              for e in range(4)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

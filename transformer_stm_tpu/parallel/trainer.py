@@ -31,7 +31,7 @@ from .sharding import batch_sharding, cvt_param_sharding, replicate
 def make_sharded_train_step(spec: CvTSpec, cfg: TrainConfig, mesh: Mesh,
                             params, state, opt: AdamState,
                             tensor_parallel: bool = True,
-                            impl: str = "auto"):
+                            impl: str = "auto", augment=None):
     """Returns (step_fn, sharded (params, state, opt)).
 
     step_fn(params, state, opt, batch, rng, lr) with batch =
@@ -54,7 +54,8 @@ def make_sharded_train_step(spec: CvTSpec, cfg: TrainConfig, mesh: Mesh,
     data1 = batch_sharding(mesh, 1)
     batch_shardings = (data4, data2, data1, data1)
 
-    step = make_train_step(spec, cfg, axis_name=None, impl=impl)
+    step = make_train_step(spec, cfg, axis_name=None, impl=impl,
+                           augment=augment)
     step = jax.jit(
         step,
         in_shardings=(pspec, state_s, opt_s, batch_shardings, rep, rep),
@@ -69,10 +70,16 @@ class ShardedTrainer:
     train.TrainLoop; batches are globally shuffled then sharded over 'data'."""
 
     def __init__(self, spec: CvTSpec, cfg: TrainConfig, mesh: Mesh,
-                 tensor_parallel: bool = True, impl: str = "auto"):
+                 tensor_parallel: bool = True, impl: str = "auto",
+                 augment=None):
+        """augment: optional data.augment.AugmentConfig — on-device
+        flip/rot90/crop/jitter inside the SAME jitted DP step (BASELINE
+        config 4's composition: DP + ICI allreduce + augmentation in one
+        program; dryrun_multichip covers it)."""
         from ..models.cvt import init_cvt
 
         self.spec, self.cfg, self.mesh = spec, cfg, mesh
+        self.augment = augment
         key = jax.random.PRNGKey(cfg.seed)
         self.init_key, self.shuffle_key, self.dropout_key = \
             jax.random.split(key, 3)
@@ -80,7 +87,7 @@ class ShardedTrainer:
         opt = adam_init(params)
         self._step, (self.params, self.state, self.opt) = \
             make_sharded_train_step(spec, cfg, mesh, params, state, opt,
-                                    tensor_parallel, impl)
+                                    tensor_parallel, impl, augment=augment)
         self.eval_step = jax.jit(
             make_eval_step(spec, cfg, impl=impl),
             in_shardings=(cvt_param_sharding(params, mesh, tensor_parallel),
@@ -106,7 +113,8 @@ class ShardedTrainer:
         )
         if not hasattr(self, "_gstep"):
             self._gstep = jax.jit(
-                make_gather_train_step(self.spec, self.cfg, impl="auto"),
+                make_gather_train_step(self.spec, self.cfg, impl="auto",
+                                       augment=self.augment),
                 donate_argnums=(0, 1, 2))
         return self._data_dev
 
@@ -162,7 +170,8 @@ class ShardedTrainer:
             # idx/mask (S, B): shard the within-step batch dim over 'data'
             sb = NamedSharding(self.mesh, P(None, "data"))
             self._escan = jax.jit(
-                make_epoch_scan(self.spec, self.cfg, impl="auto"),
+                make_epoch_scan(self.spec, self.cfg, impl="auto",
+                                augment=self.augment),
                 in_shardings=(None, None, None, None, sb, sb, None, None,
                               None),
                 donate_argnums=(0, 1, 2))

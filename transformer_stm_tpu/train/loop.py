@@ -43,18 +43,29 @@ def _masked_mse_mae(pred, y, mask):
 
 def make_train_step(spec: CvTSpec, cfg: TrainConfig,
                     axis_name: Optional[str] = None,
-                    impl: str = "auto") -> Callable:
+                    impl: str = "auto", augment=None) -> Callable:
     """Returns step(params, state, opt, batch, rng, lr) ->
     (params, state, opt, metrics).  batch = (images, proc, labels, mask).
 
     With axis_name set, gradients/metrics are psum'ed across the 'data' mesh
     axis — the ICI allreduce that replaces the reference's absent
     distributed backend (SURVEY.md §2.4).
+
+    augment: optional data.augment.AugmentConfig — on-device flip/rot90/
+    crop/jitter fused into the same jitted step (BASELINE config 4; the
+    reference's counterpart is the *offline* tools/Rotate.py:4-46).  Each
+    step's augmentation key splits off the dropout rng, so DP shards draw
+    independent parameters for their rows.
     """
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
         else jnp.float32
 
     def loss_fn(params, state, images, proc, labels, mask, rng):
+        if augment is not None:
+            from ..data.augment import augment_batch
+
+            r_aug, rng = jax.random.split(rng)
+            images = augment_batch(r_aug, images, augment)
         x = images.astype(compute_dtype)
         p = proc.astype(compute_dtype) if proc is not None else None
         out, new_state = cvt_forward(params, state, spec, x, p, train=True,
@@ -92,7 +103,7 @@ def state_merge(old, new):
 
 
 def make_gather_train_step(spec: CvTSpec, cfg: TrainConfig,
-                           impl: str = "auto") -> Callable:
+                           impl: str = "auto", augment=None) -> Callable:
     """Device-resident-data variant: the whole train set lives in HBM
     (uint8 images ~0.5 GB for the largest target) and each step gathers its
     batch by indices *inside* jit — no per-step host->device transfer.
@@ -103,7 +114,7 @@ def make_gather_train_step(spec: CvTSpec, cfg: TrainConfig,
     step(params, state, opt, data, idx, mask, rng, lr) with
     data = (images_u8 (N,H,W,1), proc (N,P)|None, labels (N,)).
     """
-    base = make_train_step(spec, cfg, impl=impl)
+    base = make_train_step(spec, cfg, impl=impl, augment=augment)
 
     def step(params, state, opt, data, idx, mask, acc, rng_base, step_id,
              lr):
@@ -123,7 +134,7 @@ def make_gather_train_step(spec: CvTSpec, cfg: TrainConfig,
 
 
 def make_epoch_scan(spec: CvTSpec, cfg: TrainConfig,
-                    impl: str = "auto") -> Callable:
+                    impl: str = "auto", augment=None) -> Callable:
     """Whole-epoch training as ONE compiled XLA program: lax.scan over the
     epoch's batch indices with the gather step as body.  On the tunnelled
     device this removes every per-step dispatch (~2.7 ms x 233 steps for
@@ -133,7 +144,7 @@ def make_epoch_scan(spec: CvTSpec, cfg: TrainConfig,
     epoch(params, state, opt, data, idx (S, B), mask (S, B),
           step_ids (S,), rng_base, lr) -> (params, state, opt, acc)
     """
-    step = make_gather_train_step(spec, cfg, impl=impl)
+    step = make_gather_train_step(spec, cfg, impl=impl, augment=augment)
 
     def epoch(params, state, opt, data, idx, mask, step_ids, rng_base, lr):
         acc0 = jnp.zeros((3,), jnp.float32)

@@ -59,7 +59,7 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
                      rows_max: int, n_val_steps: int, impl: str = "auto",
                      epochs_per_call: int = 1, remat: bool = True,
                      mlp_impl: str = "xla", mlp_bn: Optional[int] = None,
-                     val_batch: Optional[int] = None):
+                     val_batch: Optional[int] = None, augment=None):
     """Builds the one-dispatch multi-target epoch program.
 
     Returns fn(params, state, opt, corpus, y_spec, proc_spec, train_rows,
@@ -83,6 +83,16 @@ def make_multi_epoch(spec: CvTSpec, cfg: TrainConfig, *, steps_per_epoch: int,
 
     def one_step(p, st, o, imgs, proc, yy, mask, rng, lr):
         """Single-target train step on a gathered batch (imgs f32 0..1)."""
+        if augment is not None:
+            # on-device flip/rot90/crop/jitter fused into the step
+            # (BASELINE config 4; reference counterpart: the offline
+            # tools/Rotate.py).  vmap over targets gives each slot its
+            # own rng, so augmentation draws stay independent per target.
+            from ..data.augment import augment_batch
+
+            r_aug, rng = jax.random.split(rng)
+            imgs = augment_batch(r_aug, imgs, augment)
+
         def loss_fn(pp, sst):
             out, new_state = cvt_forward(
                 pp, sst, spec, imgs.astype(compute_dtype),
@@ -244,7 +254,8 @@ class MultiTargetTrainer:
                  corpus: Optional[np.ndarray] = None,
                  extra_steps: int = 0, remat: bool = True,
                  mlp_impl: str = "xla",
-                 lr_scales: Optional[Sequence[float]] = None):
+                 lr_scales: Optional[Sequence[float]] = None,
+                 augment=None):
         from ..data.images import decode_corpus
         from ..data.labels import (LabelTable, ProcessTable,
                                    build_target_arrays)
@@ -350,6 +361,7 @@ class MultiTargetTrainer:
         self.epochs_per_call = epochs_per_call
         self.remat = remat
         self.mlp_impl = mlp_impl
+        self.augment = augment
         self._fn = jax.jit(
             make_multi_epoch(self.spec, tc,
                              steps_per_epoch=self.steps_per_epoch,
@@ -357,7 +369,7 @@ class MultiTargetTrainer:
                              n_val_steps=self.n_val_steps, impl=impl,
                              epochs_per_call=epochs_per_call, remat=remat,
                              val_batch=self.val_batch, mlp_impl=mlp_impl,
-                             mlp_bn=self.mlp_bn),
+                             mlp_bn=self.mlp_bn, augment=augment),
             donate_argnums=(0, 1, 2))
         self._dev = None
 
@@ -447,7 +459,8 @@ class MultiTargetTrainer:
                     rows_max=self.rows_max, n_val_steps=self.n_val_steps,
                     impl=self.impl, epochs_per_call=n_now,
                     remat=self.remat, val_batch=self.val_batch,
-                    mlp_impl=self.mlp_impl, mlp_bn=self.mlp_bn),
+                    mlp_impl=self.mlp_impl, mlp_bn=self.mlp_bn,
+                    augment=self.augment),
                     donate_argnums=(0, 1, 2))
             else:
                 fn = self._fn
