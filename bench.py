@@ -116,10 +116,14 @@ def _time_scanned(fn, x, *consts, iters=50, vary_eps=1e-3):
     return max((t_all - t_one) / (iters - 1), 1e-9)
 
 
-def bench_vit_inference(batches=(192, 384), dtype=jnp.bfloat16):
-    """Best throughput over a small batch sweep — batched inference leaves
-    the batch size free, and the fused-layer path keeps improving past
-    192 while the XLA path peaks there (Result/vit_infer_probe.json)."""
+def bench_vit_inference(batches=(192, 384, 768), dtype=jnp.bfloat16,
+                        impls=("fused", "fused2")):
+    """Best throughput over a (batch x kernel-path) sweep — batched
+    inference leaves both free.  The fused-layer path keeps improving
+    past B=192 while the XLA path peaks there
+    (Result/vit_infer_probe.json); fused vs fused2 (two pallas_calls per
+    layer vs one merged) is measured here rather than hard-routed, so the
+    headline always reflects the faster kernel on the current chip."""
     from transformer_stm_tpu.config import VIT_PRESETS
     from transformer_stm_tpu.models import init_vit, vit_forward
 
@@ -127,17 +131,23 @@ def bench_vit_inference(batches=(192, 384), dtype=jnp.bfloat16):
     params = init_vit(jax.random.PRNGKey(0), spec)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
-    def fn(x, p):
-        return vit_forward(p, spec, x, train=False)
-
     best = 0.0
-    for batch in batches:
-        images = jax.random.uniform(jax.random.PRNGKey(1),
-                                    (batch, 224, 224, 3), dtype)
-        dt = _time_scanned(fn, images, params)
-        print(f"#   ViT-S B={batch}: {batch / dt:,.0f} img/s",
-              file=sys.stderr, flush=True)
-        best = max(best, batch / dt)
+    for impl in impls:
+        def fn(x, p, _impl=impl):
+            return vit_forward(p, spec, x, train=False, impl=_impl)
+
+        for batch in batches:
+            images = jax.random.uniform(jax.random.PRNGKey(1),
+                                        (batch, 224, 224, 3), dtype)
+            try:
+                dt = _time_scanned(fn, images, params)
+            except Exception as e:
+                print(f"#   ViT-S {impl} B={batch}: failed ({e})",
+                      file=sys.stderr, flush=True)
+                continue
+            print(f"#   ViT-S {impl} B={batch}: {batch / dt:,.0f} img/s",
+                  file=sys.stderr, flush=True)
+            best = max(best, batch / dt)
     return best
 
 
