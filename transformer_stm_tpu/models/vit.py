@@ -85,7 +85,10 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
         # so full-precision inference keeps the composable path
         import os
 
-        impl = os.environ.get("TSTM_VIT_INFER", "fused")
+        # fused2 (merged packed projections) is the measured winner:
+        # 11,000 img/s at B=192-384 vs 8,782 XLA / v1-fused erroring on
+        # hardware (Result/fused_layer_probe.json, round 4)
+        impl = os.environ.get("TSTM_VIT_INFER", "fused2")
         if impl in ("fused", "fused2"):
             # large-token / wider-than-ViT-B configs overflow the fused
             # kernels' scoped VMEM even at bi=1 — fall back to the
