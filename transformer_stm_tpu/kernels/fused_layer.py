@@ -137,6 +137,18 @@ def _layer_vmem_est(bi: int, t_pad: int, e: int, hd: int, hidden: int,
 
 _VMEM_ADMIT = 19 << 20   # estimated ~= 15M actual (1.26x calibration)
 
+# Raised Mosaic scoped-VMEM cap for the two-kernel (v1) path.  Measured
+# 2026-08-18: after a terminal-side libtpu update the compiler's scoped
+# accounting of _attn_layer_kernel grew with TOTAL row count, not just the
+# per-program block (16.05M at B=192 -> 18.44M at B=384/768 against the
+# 16M default), so kernels that fit in round 3 started failing AOT compile.
+# The observed accounting caps ~18.5M; 32M gives 1.7x headroom while
+# staying a small fraction of the v5e core's 128M VMEM.  The bi/bn
+# choosers still admit against the 19M-estimate budget above, so block
+# choices (and the measured fused2 headline path, which keeps the default
+# limit) are unchanged.
+_V1_VMEM_LIMIT = int(os.environ.get("TSTM_FUSED_V1_VMEM_LIMIT", 32 << 20))
+
 
 def fused_layer_fits(t_pad: int, e: int, heads: int, dh: int, hidden: int,
                      itemsize: int = 2, merged: bool = False) -> bool:
@@ -233,6 +245,8 @@ def attn_layer_infer(x, norm1, attn, *, t_pad: int, t_real: int,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=n * t_pad * h,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_V1_VMEM_LIMIT),
         interpret=_INTERPRET,
     )(x, g1, be1, wq, bq, wk, bk, wv, bv, wo, bo)
     return y
@@ -424,5 +438,7 @@ def ln_mlp_infer(x, norm2, mlp, *, eps: float = 1e-6, bn: int = 512):
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=n * hd,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_V1_VMEM_LIMIT),
         interpret=_INTERPRET,
     )(x, g2, be2, mlp["fc1"]["kernel"], b1, mlp["fc2"]["kernel"], b2)
