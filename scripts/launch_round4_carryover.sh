@@ -1,16 +1,24 @@
 #!/bin/bash
-# Launch the round-4 carryover training at the END of the round-3 session
-# (it runs past round end; the round-4 session finds it via /tmp/*.log and
-# the supervisor survives as a nohup'd process — same pattern as the
-# round-2 -> round-3 chunk handoff).
+# Launch the round-4 carryover training at the END of the round-4 chunkY
+# run (it runs past round end; the round-5 session finds it via /tmp/*.log
+# and the supervisor survives as a nohup'd process — same pattern as the
+# round-3 -> round-4 chunk handoff).
 #
-# Contents: 800HZ top-ups to the full 1000-epoch protocol (current rows
-# are 400-600-epoch runs; fresh seeds retrain from scratch at T=5, the
-# conservatively-known-good width).  The CvT "(many)" 8-repeat study and
-# img-only variants stay with round 4 proper — pick their width from
-# Result/multi_width_probe.json (T=8/10/12 entries, end-window probe).
+# Contents: 800HZ top-ups to the full 1000-epoch protocol (the committed
+# rows are 400-600-epoch runs whose weights died with the old host; fresh
+# seeds retrain from scratch at T=5, the conservatively-known-good width).
+# The CvT "(many)" 8-repeat study and img-only variants stay with round 5
+# — pick their width from Result/multi_width_probe.json (T=8/10 validated
+# on hardware 2026-08-18, T=12 crashes the worker).
+#
+# Supervision is the framework's own respawn loop now
+# (transformer_stm_tpu/train/supervisor.py — watchdog exit 75 + any tunnel
+# death -> checkpoint-resume retry, pid-exact SIGCONT failsafe), replacing
+# the supervise_train_all.sh shell loop (VERDICT r3 weak #7).
 cd /root/repo
-nohup bash scripts/supervise_train_all.sh 1000 1 /tmp/chunk800.log \
+nohup python -m transformer_stm_tpu.train.supervisor \
+  --log /tmp/chunk800.log -- \
+  python scripts/train_all.py 1000 1 \
   800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv \
   > /dev/null 2>&1 &
 echo $! > /tmp/chunk800_sup.pid
