@@ -28,9 +28,11 @@ ALL = [f"{f}HZ_{p}" for f in (50, 200, 400, 800)
 REF = "/root/reference/Result/Excel"
 OURS = "Result/Excel"
 MARK_START = {"flagship": "<!-- FLAGSHIP_TABLE_START -->",
-              "ffn": "<!-- FFN_TABLE_START -->"}
+              "ffn": "<!-- FFN_TABLE_START -->",
+              "many": "<!-- FFN_MANY_TABLE_START -->"}
 MARK_END = {"flagship": "<!-- FLAGSHIP_TABLE_END -->",
-            "ffn": "<!-- FFN_TABLE_END -->"}
+            "ffn": "<!-- FFN_TABLE_END -->",
+            "many": "<!-- FFN_MANY_TABLE_END -->"}
 
 
 def _epochs_trained(variant_dir: str, freq: str):
@@ -101,6 +103,43 @@ def table(variant_dir: str, with_epochs: bool = True):
     return head + "\n" + "\n".join(rows) + summary
 
 
+def many_table():
+    """Variance rows from the 8-repeat study summaries
+    (Result/ffn_many_{freq}_summary.json, scripts/ffn_many.py) against the
+    reference's committed single run (its (many) script —
+    models/FFN(OnlyPar)(many).py:179-194 — shipped without results)."""
+    import json
+    import statistics
+
+    rows = []
+    n_done = 0
+    for freq in ALL:
+        p = f"Result/ffn_many_{freq}_summary.json"
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            d = json.load(f)
+        r2 = [r["r2"] for r in d["runs"]]
+        mse = [r["mse"] for r in d["runs"]]
+        mae = [r["mae"] for r in d["runs"]]
+        ref = read_predictions_metrics(
+            os.path.join(REF, "Parameters",
+                         f"Predictions_Metrics_{freq}.xlsx"))["r2"]
+        rows.append(
+            f"| {freq} | {statistics.mean(r2):.4f} ± "
+            f"{statistics.stdev(r2):.4f} | [{min(r2):.4f}, {max(r2):.4f}] "
+            f"| {statistics.mean(mse):.2f} ± {statistics.stdev(mse):.2f} "
+            f"| {statistics.mean(mae):.3f} ± {statistics.stdev(mae):.3f} "
+            f"| {ref:.4f} |")
+        n_done += 1
+    head = ("| Target | R² mean ± std | R² range | MSE mean ± std "
+            "| MAE mean ± std | ref (single run) |\n"
+            "|---|---|---|---|---|---|")
+    return (head + "\n" + "\n".join(rows)
+            + f"\n{n_done}/{len(ALL)} targets done "
+            f"(8 repeats × 1000 epochs each).")
+
+
 def splice(which: str, text: str, path: str = "RESULTS.md"):
     with open(path) as f:
         doc = f.read()
@@ -117,8 +156,11 @@ def splice(which: str, text: str, path: str = "RESULTS.md"):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ffn"
-    vd = "Parameters" if which == "ffn" else "Images & Parameters"
-    t = table(vd, with_epochs=(which == "flagship"))
+    if which == "many":
+        t = many_table()
+    else:
+        vd = "Parameters" if which == "ffn" else "Images & Parameters"
+        t = table(vd, with_epochs=(which == "flagship"))
     if "--write" in sys.argv:
         splice(which, t)
     else:
