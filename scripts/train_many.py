@@ -46,22 +46,37 @@ def main():
     impl = os.environ.get("TSTM_MULTI_IMPL", "small")
     mlp_impl = os.environ.get("TSTM_MULTI_MLP", "pallas")
     t0 = _time.time()
-    tr = MultiTargetTrainer(cfg, targets, epochs_per_call=10, impl=impl,
-                            mlp_impl=mlp_impl)
+    # hang watchdog + supervisor respawn, same contract as train_all.py:
+    # run this under `python -m transformer_stm_tpu.train.supervisor` for
+    # the 12h+ unattended T=8 run (8 repeats x 1000 epochs ~= 12.25h at
+    # the measured 44.1 s/epoch, Result/multi_width_probe.json)
+    from contextlib import nullcontext
+
+    from transformer_stm_tpu.train.watchdog import watchdog_from_env
+    wd = watchdog_from_env(default_timeout=720.0)
+    if wd is not None:
+        wd.start()
+    wd_ctx = (wd.dispatch if wd is not None
+              else (lambda label: nullcontext()))
+    with wd_ctx("trainer init / first device contact"):
+        tr = MultiTargetTrainer(cfg, targets, epochs_per_call=10,
+                                impl=impl, mlp_impl=mlp_impl)
     ckdir = os.path.join("Result", "Weight", cfg.variant_dir,
                          f"many_{freq}.ckpts")
     if tr.load(ckdir):
         print(f"resumed at epoch {tr.epoch}", flush=True)
     tr.fit(epochs=epochs, checkpoint_dir=ckdir, checkpoint_every=50,
-           verbose=True)
+           verbose=True, watchdog=wd)
     print(f"trained {repeats} repeats in {(_time.time()-t0)/60:.1f} min",
           flush=True)
-    tr.export(verbose=True)
+    with wd_ctx("weight export"):
+        tr.export(verbose=True)
 
     from transformer_stm_tpu.harness import test_target
     rows = []
     for _, seed, tsuf in targets:
-        res = test_target(cfg, freq, time=tsuf, verbose=True)
+        with wd_ctx(f"eval time={tsuf}"):
+            res = test_target(cfg, freq, time=tsuf, verbose=True)
         rows.append({"time": tsuf, "seed": seed, "r2": res["r2"],
                      "mse": res["mse"], "mae": res["mae"]})
     arr = {k: np.array([r[k] for r in rows]) for k in ("r2", "mse", "mae")}
