@@ -150,6 +150,18 @@ _VMEM_ADMIT = 19 << 20   # estimated ~= 15M actual (1.26x calibration)
 _V1_VMEM_LIMIT = int(os.environ.get("TSTM_FUSED_V1_VMEM_LIMIT", 32 << 20))
 
 
+def _v2_compiler_params():
+    """Optional raised scoped-VMEM cap for the merged (v2) kernel.  UNSET
+    by default: the measured 11.3k img/s headline path compiles with the
+    16M compiler default and must stay byte-identical.  Set
+    TSTM_FUSED_V2_VMEM_LIMIT (bytes) to experiment with image blocks
+    beyond the chooser's admit (scripts/probe_fused_bi.py)."""
+    v = os.environ.get("TSTM_FUSED_V2_VMEM_LIMIT")
+    if not v:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(v))
+
+
 def fused_layer_fits(t_pad: int, e: int, heads: int, dh: int, hidden: int,
                      itemsize: int = 2, merged: bool = False) -> bool:
     """True iff the fused inference-layer kernels fit scoped VMEM at the
@@ -378,6 +390,7 @@ def vit_layer_infer(x, norm1, attn, norm2, mlp, *, t_pad: int,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=n * (t_pad * h + hidden),
         ),
+        compiler_params=_v2_compiler_params(),
         interpret=_INTERPRET,
     )(x, g1, be1, wq, bq, wk, bk, wv, bv, wo, bo, g2, be2,
       mlp["fc1"]["kernel"], b1, mlp["fc2"]["kernel"], b2)
