@@ -6,7 +6,11 @@
 #
 # Contents: 800HZ top-ups to the full 1000-epoch protocol (the committed
 # rows are 400-600-epoch runs whose weights died with the old host; fresh
-# seeds retrain from scratch at T=5, the conservatively-known-good width).
+# seeds retrain from scratch) PLUS 400HZ_μa — the one other row still
+# short of 1000 epochs (its committed 3/3-wins row is a round-1 run that
+# hit the wall-clock budget at 400).  T=6 is the chunkY-proven width
+# (29.3 s/epoch); with it, this chunk completes the ENTIRE flagship
+# 20-target table at the full protocol.
 # The CvT "(many)" 8-repeat study and img-only variants stay with round 5
 # — pick their width from Result/multi_width_probe.json (T=8/10 validated
 # on hardware 2026-08-18, T=12 crashes the worker).
@@ -19,7 +23,7 @@ cd /root/repo
 nohup python -m transformer_stm_tpu.train.supervisor \
   --log /tmp/chunk800.log -- \
   python scripts/train_all.py 1000 1 \
-  800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv \
+  800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv 400HZ_μa \
   > /dev/null 2>&1 &
 echo $! > /tmp/chunk800_sup.pid
 echo "launched 800HZ top-up chunk (supervisor pid $(cat /tmp/chunk800_sup.pid))"
