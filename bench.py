@@ -277,6 +277,17 @@ def _pause_competing_training():
     if paused:
         print(f"# paused training pid(s) {paused} for the bench",
               file=sys.stderr)
+        # Handshake with the in-framework supervisor's SIGCONT failsafe
+        # (train/supervisor.py PAUSE_FLAG): while this flag is fresh the
+        # failsafe treats the T-state as intentional and holds off; if
+        # this bench is SIGKILLed the flag goes stale and the failsafe
+        # resumes the trainer anyway.
+        from transformer_stm_tpu.train.supervisor import PAUSE_FLAG
+        try:
+            with open(PAUSE_FLAG, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
 
         def _resume():
             for p in paused:
@@ -284,6 +295,10 @@ def _pause_competing_training():
                     os.kill(p, signal.SIGCONT)
                 except OSError:
                     pass
+            try:
+                os.unlink(PAUSE_FLAG)
+            except OSError:
+                pass
 
         # atexit alone does not run on SIGTERM/SIGINT-default — a killed
         # bench would leave the multi-hour training frozen in T-state

@@ -74,6 +74,41 @@ def test_sigcont_failsafe_resumes_stopped_child(tmp_path):
     assert "resumed" in text
 
 
+def test_pause_flag_holds_failsafe_off(tmp_path, monkeypatch):
+    """While bench.py's pause flag is fresh the failsafe must NOT resume a
+    stopped child (the stop is an intentional clean-measurement pause);
+    deleting the flag releases it."""
+    import threading
+
+    import transformer_stm_tpu.train.supervisor as sup_mod
+
+    flag = tmp_path / "pause_flag"
+    flag.write_text("bench")
+    monkeypatch.setattr(sup_mod, "PAUSE_FLAG", str(flag))
+
+    log = tmp_path / "sup.log"
+    cmd = _child_script(tmp_path, """
+        import os, signal
+        os.kill(os.getpid(), signal.SIGSTOP)   # bench parked us
+        print("resumed")
+    """)
+    result = {}
+
+    def run():
+        result["rc"] = supervise(cmd, max_attempts=1, retry_delay_s=0.05,
+                                 log_path=str(log), cont_poll_s=0.2)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(2.0)   # ~10 failsafe polls with the flag fresh
+    assert "rc" not in result, "child resumed despite a fresh pause flag"
+    assert "failsafe: SIGCONT" not in log.read_text()
+    flag.unlink()     # bench released (or the flag went stale)
+    t.join(timeout=30)
+    assert result.get("rc") == 0
+    assert "resumed" in log.read_text()
+
+
 def test_cli_entry(tmp_path):
     log = tmp_path / "sup.log"
     out = subprocess.run(

@@ -46,6 +46,21 @@ from .watchdog import STALL_EXIT_CODE
 #: substring the round-chain scripts wait for (keep stable)
 COMPLETION_MARKER = "=== supervisor: run completed ==="
 
+#: handshake with bench.py's trainer pause: while this flag file exists
+#: and is fresher than PAUSE_FLAG_TTL_S, the SIGCONT failsafe holds off —
+#: the stop is an intentional clean-measurement pause, not a leak.  A
+#: SIGKILLed bench leaves the flag behind, so it must go stale: after the
+#: TTL the failsafe resumes the trainer as before.
+PAUSE_FLAG = os.environ.get("TSTM_BENCH_PAUSE_FLAG", "/tmp/tstm_bench_pause")
+PAUSE_FLAG_TTL_S = 2400.0
+
+
+def _pause_flag_fresh() -> bool:
+    try:
+        return (time.time() - os.stat(PAUSE_FLAG).st_mtime) < PAUSE_FLAG_TTL_S
+    except OSError:
+        return False
+
 
 def _utcnow() -> str:
     return time.strftime("%H:%M:%S", time.gmtime())
@@ -89,6 +104,10 @@ class _ContFailsafe:
             if pid is None:
                 continue
             stopped = self._state(pid) == "T"
+            if stopped and _pause_flag_fresh():
+                # bench.py is holding the trainer for a clean measurement
+                self._was_stopped = False
+                continue
             if stopped and self._was_stopped:
                 try:
                     os.kill(pid, signal.SIGCONT)
@@ -125,7 +144,10 @@ def supervise(cmd, *, max_attempts: int = 200, retry_delay_s: float = 120.0,
             child.terminate()
         raise SystemExit(128 + signum)
 
-    old_term = signal.signal(signal.SIGTERM, _forward_term)
+    try:
+        old_term = signal.signal(signal.SIGTERM, _forward_term)
+    except ValueError:          # not the main thread (tests drive it so)
+        old_term = None
     rc = 1
     try:
         for attempt in range(1, max_attempts + 1):
@@ -151,7 +173,8 @@ def supervise(cmd, *, max_attempts: int = 200, retry_delay_s: float = 120.0,
         return rc
     finally:
         failsafe.stop()
-        signal.signal(signal.SIGTERM, old_term)
+        if old_term is not None:
+            signal.signal(signal.SIGTERM, old_term)
         if log_path:
             logf.close()
 
