@@ -31,7 +31,10 @@ cd /root/repo
   timeout 600 python scripts/results_tables.py flagship --write
   echo "=== persist weights $(date -u +%H:%M:%S) ==="
   timeout 1200 python scripts/persist_weights.py save
-  git add RESULTS.md Result persist
+  # Result/ is gitignored (Weight/ holds 1.6G of raw weights); force-add
+  # the analysis artifacts only — persist_weights mirrors the weights.
+  git add RESULTS.md persist
+  git add -f Result/*.json Result/Excel Result/Records Result/Plots
   git commit -q -m "Land the chunkY results: flagship table regen, persisted weights, bi probe" \
     && echo "committed $(git log --oneline -1)"
 
