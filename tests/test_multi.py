@@ -219,3 +219,31 @@ def test_multi_trainer_with_augmentation(tmp_path):
     tr.fit(epochs=1, verbose=False)
     assert len(tr.records[0]) == 1
     assert all(np.isfinite(v) for v in tr.records[0][0][1:])
+
+
+def test_run_many_variance_study(tmp_path):
+    """train/many.py run_many: 2 vmapped repeats of one target train, export
+    the reference's _{time}-suffixed artifacts, evaluate per repeat, and
+    write the cvt_many summary with sane stats."""
+    import json
+
+    from transformer_stm_tpu.train.many import run_many
+
+    cfg = _cfg(tmp_path)
+    summary = run_many(cfg, "50HZ_Bm", epochs=2, repeats=2, impl="xla",
+                       mlp_impl="xla", verbose=False)
+    assert summary["repeats"] == 2
+    assert [r["time"] for r in summary["runs"]] == [1, 2]
+    # distinct seeds per repeat => distinct outcomes
+    assert summary["runs"][0]["seed"] != summary["runs"][1]["seed"]
+    for k in ("r2", "mse", "mae"):
+        s = summary["stats"][k]
+        assert np.isfinite([s["mean"], s["std"], s["min"], s["max"]]).all()
+        assert s["min"] <= s["mean"] <= s["max"]
+    out = os.path.join(cfg.result_dir, "cvt_many_50HZ_Bm_summary.json")
+    with open(out) as fh:
+        assert json.load(fh)["freq"] == "50HZ_Bm"
+    # per-repeat weights in the reference's (many) naming
+    wdir = os.path.join(cfg.result_dir, "Weight", cfg.variant_dir)
+    names = os.listdir(wdir)
+    assert any("_1_" in n or n.endswith("_1") for n in names), names
