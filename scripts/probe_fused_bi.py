@@ -83,10 +83,12 @@ print("RESULT", B / per)
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     out = {}
-    for bi, mlp_chunks in ((8, 2), (16, 4), (16, 8)):
+    for bi, mlp_chunks in ((8, 2), (16, 4), (16, 8), (24, 6)):
         for B in (384, 768):
             env = dict(os.environ)
-            if bi > 8:
+            if bi > 16:
+                env["TSTM_FUSED_V2_VMEM_LIMIT"] = str(100 << 20)
+            elif bi > 8:
                 env["TSTM_FUSED_V2_VMEM_LIMIT"] = str(64 << 20)
             key = f"bi{bi}_mc{mlp_chunks}_B{B}"
             try:
