@@ -42,8 +42,18 @@ def _backend_probe(timeout=150):
     check would wedge the bench exactly when it must degrade gracefully."""
     try:
         r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
-                           capture_output=True, timeout=timeout)
-        return r.returncode == 0
+                           capture_output=True, text=True, timeout=timeout)
+        if r.returncode != 0:
+            return False
+        # a fast-failing tunnel plugin can leave JAX on the CPU fallback:
+        # that executes fine but would record a ~100x-low number as a
+        # non-stale headline (and clobber BENCH_LAST_GOOD with it)
+        backend = r.stdout.split()[-1] if r.stdout.split() else "?"
+        if backend == "cpu":
+            print("# device probe landed on the CPU fallback backend",
+                  file=sys.stderr, flush=True)
+            return False
+        return True
     except subprocess.TimeoutExpired:
         return False
 
@@ -52,7 +62,7 @@ def _emit_stale(reason):
     try:
         with open(LAST_GOOD_PATH) as f:
             rec = json.load(f)
-    except OSError:
+    except (OSError, ValueError):   # missing OR truncated/corrupt JSON
         rec = {"metric": "ViT-S/16 224px batched inference throughput",
                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0}
     rec = {k: rec.get(k) for k in
@@ -141,6 +151,11 @@ def bench_vit_inference(batches=(192, 384, 768), dtype=jnp.bfloat16,
                                         (batch, 224, 224, 3), dtype)
             try:
                 dt = _time_scanned(fn, images, params)
+            except _BenchTimeout:
+                # the mid-bench wall-clock bound fired: the device is
+                # wedged, not this config — degrade to stale, don't march
+                # on to more configs that would block with no alarm left
+                raise
             except Exception as e:
                 print(f"#   ViT-S {impl} B={batch}: failed ({e})",
                       file=sys.stderr, flush=True)
@@ -376,19 +391,29 @@ def main():
         return
     signal.alarm(0)
 
+    if vit_ips <= 0.0:
+        # every (impl, batch) sweep point failed: that is a broken-kernel /
+        # broken-device signal, not a measurement — never publish 0.0 as a
+        # non-stale record or clobber the last-known-good with it
+        _emit_stale("all headline sweep configs failed")
+        return
+
     rec = {
         "metric": "ViT-S/16 224px batched inference throughput",
         "value": round(vit_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(vit_ips / BASELINE_IMG_PER_SEC, 3),
     }
-    try:  # refresh the committed fallback for the next outage
-        with open(LAST_GOOD_PATH, "w") as f:
+    try:  # refresh the committed fallback for the next outage (atomically
+        #   — a SIGKILL mid-write must not leave truncated JSON behind)
+        tmp = LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({**rec, "supplementary": supplementary,
                        "recorded_utc": time.strftime(
                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f,
                       indent=1)
             f.write("\n")
+        os.replace(tmp, LAST_GOOD_PATH)
     except OSError as e:
         print(f"# could not update {LAST_GOOD_PATH}: {e}", file=sys.stderr)
     print(json.dumps(rec))

@@ -14,10 +14,18 @@ TARGETS="$@"
 # Watchdog: bench.py SIGSTOPs the trainer for clean measurements and
 # resumes it via atexit/signal handlers — but a SIGKILLed bench can't.
 # SIGCONT any T-state trainer every 5 min as a last resort (SIGCONT on a
-# running process is a no-op, so this is always safe).
+# running process is a no-op, so this is always safe) — UNLESS bench.py's
+# pause flag is fresh (< 40 min old): that stop is intentional, and a
+# blind CONT would time-share the chip mid-measurement.  A leaked flag
+# goes stale and the rescue resumes.
+PAUSE_FLAG="${TSTM_BENCH_PAUSE_FLAG:-/tmp/tstm_bench_pause}"
 (
   while true; do
     sleep 300
+    if [ -f "$PAUSE_FLAG" ]; then
+      age=$(( $(date +%s) - $(stat -c %Y "$PAUSE_FLAG" 2>/dev/null || echo 0) ))
+      [ "$age" -lt 2400 ] && continue
+    fi
     for pid in $(ps -eo pid=,stat=,args= | awk '$2 ~ /^T/ && /scripts\/train_all\.py/ {print $1}'); do
       kill -CONT "$pid" 2>/dev/null && echo "watchdog: SIGCONT $pid" >> "$LOG"
     done

@@ -113,3 +113,41 @@ def test_multi_trainer_fit_accepts_watchdog():
         tr.fit(1, verbose=False, watchdog=wd)
     assert tr.epoch == 1
     assert not trips
+
+
+def test_stop_is_revivable():
+    """MultiTargetTrainer.fit used to stop() the caller's watchdog; a
+    later start() must actually monitor again (the _stop event is reset),
+    so export/eval dispatches after training stay guarded."""
+    trips = []
+    wd = HangWatchdog(timeout_s=0.2, first_timeout_s=0.2, poll_s=0.05,
+                      on_stall=lambda: trips.append(1))
+    wd.start()
+    wd.stop()
+    wd.start()
+    with wd.dispatch("post-restart wedge"):
+        time.sleep(0.6)
+    wd.stop()
+    assert trips
+
+
+def test_fresh_pause_flag_freezes_countdown(tmp_path, monkeypatch):
+    """While bench.py's pause flag is fresh the deadline must not expire
+    (the trainer is SIGSTOPped, not wedged); once the flag is gone the
+    countdown resumes."""
+    import transformer_stm_tpu.train.watchdog as wd_mod
+
+    flag = tmp_path / "pause"
+    flag.write_text("bench")
+    monkeypatch.setattr(wd_mod, "PAUSE_FLAG", str(flag))
+
+    trips = []
+    wd = HangWatchdog(timeout_s=0.2, first_timeout_s=0.2, poll_s=0.05,
+                      on_stall=lambda: trips.append(1))
+    with wd:
+        with wd.dispatch("paused, not wedged"):
+            time.sleep(0.6)       # far past the deadline, flag fresh
+            assert not trips
+            flag.unlink()         # bench released
+            time.sleep(0.5)       # countdown resumes and expires
+    assert trips

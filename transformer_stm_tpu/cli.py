@@ -213,10 +213,14 @@ def main(argv=None):
                 # num_classes from cfg.model, not the init defaults
                 # (advisor r3); load_checkpoint rejects shape mismatches
                 with np.load(ckpt) as z:
-                    fc1 = next(z[k] for k in z.files
-                               if "fc1" in k and "kernel" in k)
-                    final = next(z[k] for k in z.files
-                                 if "final" in k and "kernel" in k)
+                    fc1 = next((z[k] for k in z.files
+                                if "fc1" in k and "kernel" in k), None)
+                    final = next((z[k] for k in z.files
+                                  if "final" in k and "kernel" in k), None)
+                if fc1 is None or final is None:
+                    print(f"{freq}: {ckpt} is not an FFN checkpoint "
+                          f"(no fc1/final kernels); skipping")
+                    continue
                 params = init_ffn(jax.random.PRNGKey(0),
                                   proc_dim=fc1.shape[0],
                                   hidden=fc1.shape[1],

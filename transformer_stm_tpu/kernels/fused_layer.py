@@ -125,10 +125,22 @@ def _attn_vmem_est(bi: int, t_pad: int, e: int, hd: int, it: int) -> int:
             + 2 * bi * t_pad * t_pad * 4)   # live score buffers
 
 
+def _norm_mlp_chunks(r: int, mlp_chunks: int) -> int:
+    """Largest chunk count <= mlp_chunks whose row chunks divide r and
+    stay 8-sublane aligned.  The VMEM admit MUST use this normalised
+    value: the requested count can collapse (down to 1), doubling the
+    live hidden buffer versus a naively-admitted estimate (review r4)."""
+    while mlp_chunks > 1 and (r % mlp_chunks or (r // mlp_chunks) % 8):
+        mlp_chunks -= 1
+    return mlp_chunks
+
+
 def _layer_vmem_est(bi: int, t_pad: int, e: int, hd: int, hidden: int,
                     it: int, mlp_chunks: int) -> int:
-    """Estimate for the merged _layer_kernel (attn est + MLP terms)."""
+    """Estimate for the merged _layer_kernel (attn est + MLP terms).
+    mlp_chunks is normalised to what the kernel will actually use."""
     rr = bi * t_pad
+    mlp_chunks = _norm_mlp_chunks(rr, mlp_chunks)
     return (_attn_vmem_est(bi, t_pad, e, hd, it)
             + 2 * e * hidden * it          # MLP weights
             + rr * e * 4                   # z f32
@@ -348,8 +360,7 @@ def vit_layer_infer(x, norm1, attn, norm2, mlp, *, t_pad: int,
                 f"hidden={hidden} overflows scoped VMEM even at bi=1; "
                 f"use the composable impl='small' path")
     r = bi * t_pad
-    while mlp_chunks > 1 and (r % mlp_chunks or (r // mlp_chunks) % 8):
-        mlp_chunks -= 1   # chunk rows must stay 8-sublane aligned
+    mlp_chunks = _norm_mlp_chunks(r, mlp_chunks)
 
     def packed(p, mul=1.0):
         return p["kernel"].reshape(e, hd) * mul, \

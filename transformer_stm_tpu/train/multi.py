@@ -435,6 +435,7 @@ class MultiTargetTrainer:
         script's job, VERDICT r3 weak #7)."""
         from .watchdog import HangWatchdog, watchdog_from_env
 
+        owns_watchdog = watchdog is True
         if watchdog is True:
             watchdog = watchdog_from_env()
         if isinstance(watchdog, HangWatchdog):
@@ -499,7 +500,10 @@ class MultiTargetTrainer:
                 if verbose:
                     print(f"  checkpoint @ {self.epoch} "
                           f"({time.time() - t1:.0f}s)", flush=True)
-        if isinstance(watchdog, HangWatchdog):
+        # only stop a watchdog fit() itself created: a caller-owned one
+        # keeps guarding the dispatches that follow training (weight
+        # export, per-target eval — scripts/train_all.py, train/many.py)
+        if owns_watchdog and isinstance(watchdog, HangWatchdog):
             watchdog.stop()
         return self
 

@@ -41,25 +41,19 @@ import sys
 import threading
 import time
 
-from .watchdog import STALL_EXIT_CODE
+# PAUSE_FLAG handshake with bench.py's trainer pause: while the flag
+# file is fresh, the SIGCONT failsafe holds off — the stop is an
+# intentional clean-measurement pause, not a leak.  A SIGKILLed bench
+# leaves the flag behind, so it must go stale: after the TTL the
+# failsafe resumes the trainer as before.  Defined in watchdog.py
+# (whose countdown also freezes under the flag); re-exported for
+# bench.py.
+from .watchdog import (PAUSE_FLAG, STALL_EXIT_CODE,  # noqa: F401
+                       _pause_flag_fresh)
 
 #: substring the round-chain scripts wait for (keep stable)
 COMPLETION_MARKER = "=== supervisor: run completed ==="
 
-#: handshake with bench.py's trainer pause: while this flag file exists
-#: and is fresher than PAUSE_FLAG_TTL_S, the SIGCONT failsafe holds off —
-#: the stop is an intentional clean-measurement pause, not a leak.  A
-#: SIGKILLed bench leaves the flag behind, so it must go stale: after the
-#: TTL the failsafe resumes the trainer as before.
-PAUSE_FLAG = os.environ.get("TSTM_BENCH_PAUSE_FLAG", "/tmp/tstm_bench_pause")
-PAUSE_FLAG_TTL_S = 2400.0
-
-
-def _pause_flag_fresh() -> bool:
-    try:
-        return (time.time() - os.stat(PAUSE_FLAG).st_mtime) < PAUSE_FLAG_TTL_S
-    except OSError:
-        return False
 
 
 def _utcnow() -> str:

@@ -38,6 +38,22 @@ import time
 #: failure, the caller should retry)
 STALL_EXIT_CODE = 75
 
+#: bench.py SIGSTOPs an active trainer for clean chip measurements and
+#: advertises the pause through this flag file (see train/supervisor.py,
+#: which re-exports it).  The watchdog's clock must not run during such
+#: a pause: CLOCK_MONOTONIC keeps ticking through the T-state, so an
+#: armed deadline would otherwise force-exit a healthy trainer the
+#: moment it is SIGCONTed.
+PAUSE_FLAG = os.environ.get("TSTM_BENCH_PAUSE_FLAG", "/tmp/tstm_bench_pause")
+PAUSE_FLAG_TTL_S = 2400.0
+
+
+def _pause_flag_fresh() -> bool:
+    try:
+        return (time.time() - os.stat(PAUSE_FLAG).st_mtime) < PAUSE_FLAG_TTL_S
+    except OSError:
+        return False
+
 
 class HangWatchdog:
     """Force-exits the process when a device dispatch outlives its deadline.
@@ -84,6 +100,11 @@ class HangWatchdog:
         if self._thread is not None:
             self._thread.join(timeout=2 * self.poll_s)
             self._thread = None
+        # a stopped watchdog must be revivable: callers like
+        # MultiTargetTrainer.fit() bracket only their own phase, and the
+        # same instance then guards export/eval dispatches (start() after
+        # stop() silently monitored nothing before this reset)
+        self._stop = threading.Event()
 
     def __enter__(self):
         return self.start()
@@ -115,6 +136,14 @@ class HangWatchdog:
         while not self._stop.wait(self.poll_s):
             with self._lock:
                 d, label = self._deadline, self._label
+            if d is not None and _pause_flag_fresh():
+                # bench.py is holding the (SIGSTOPped) trainer: freeze
+                # the countdown by pushing the deadline along with the
+                # poll clock instead of letting it expire under a pause
+                with self._lock:
+                    if self._deadline is not None:
+                        self._deadline += self.poll_s
+                continue
             if d is not None and time.monotonic() > d:
                 self._log(f"[watchdog] '{label}' exceeded its deadline — "
                           f"device wedged; exiting {STALL_EXIT_CODE} for "
