@@ -40,6 +40,12 @@ def _backend_probe(timeout=150):
     timeout.  The axon tunnel's failure mode is a futex-wait hang inside
     backend init / the first dispatch, not an exception — an in-process
     check would wedge the bench exactly when it must degrade gracefully."""
+    # Deterministic outage injection for tests/ops drills.  Env tricks
+    # like a bogus JAX_PLATFORMS do NOT work here: the axon tunnel
+    # plugin ignores JAX_PLATFORMS, so a probe meant to fail would find
+    # the real chip and run a full bench (pausing live trainers).
+    if os.environ.get("TSTM_BENCH_FORCE_UNREACHABLE"):
+        return False
     try:
         r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
                            capture_output=True, text=True, timeout=timeout)

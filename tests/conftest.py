@@ -3,8 +3,17 @@ tests run without TPU hardware (SURVEY.md §4), and enable x64-free
 deterministic configs.  Must run before jax is imported anywhere."""
 
 import os
+import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Isolate the bench<->supervisor pause-flag handshake from the REAL
+# /tmp/tstm_bench_pause: a live bench on this host must never freeze
+# watchdogs/failsafes inside the test suite (and vice versa).  Set before
+# the package import below so watchdog.PAUSE_FLAG picks it up, and
+# inherited by every subprocess the tests spawn.
+os.environ.setdefault(
+    "TSTM_BENCH_PAUSE_FLAG",
+    os.path.join(tempfile.mkdtemp(prefix="tstm_test_pause_"), "flag"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -13,9 +13,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_emits_stale_record_when_device_unreachable():
     env = dict(os.environ)
     env["TSTM_BENCH_PROBE_ATTEMPTS"] = "1"
-    # force the reachability probe to fail fast: an unimportable JAX
-    # platform makes the probe subprocess exit nonzero immediately
-    env["JAX_PLATFORMS"] = "definitely_not_a_platform"
+    # Deterministic probe failure.  Do NOT try a bogus JAX_PLATFORMS
+    # here: the axon tunnel ignores it, so the probe would find the real
+    # chip and this test would run a full hardware bench (pausing any
+    # live training) instead of exercising the degraded path.
+    env["TSTM_BENCH_FORCE_UNREACHABLE"] = "1"
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -80,11 +80,13 @@ def test_pause_flag_holds_failsafe_off(tmp_path, monkeypatch):
     deleting the flag releases it."""
     import threading
 
-    import transformer_stm_tpu.train.supervisor as sup_mod
+    import transformer_stm_tpu.train.watchdog as wd_mod
 
     flag = tmp_path / "pause_flag"
     flag.write_text("bench")
-    monkeypatch.setattr(sup_mod, "PAUSE_FLAG", str(flag))
+    # _pause_flag_fresh() reads watchdog.PAUSE_FLAG (supervisor merely
+    # re-exports the name) — patch the module the check actually uses.
+    monkeypatch.setattr(wd_mod, "PAUSE_FLAG", str(flag))
 
     log = tmp_path / "sup.log"
     cmd = _child_script(tmp_path, """

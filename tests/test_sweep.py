@@ -105,10 +105,12 @@ def test_sweep_ffn_lr_seed_hidden(tmp_path):
     summary = run_sweep(cfg, "50HZ_Bm", pts, epochs=2, verbose=False)
     assert summary["n_points"] == 2
     assert all(np.isfinite(r["val_mse"]) for r in summary["results"])
-    # both point checkpoints exist side by side (_{time} suffixes)
+    # both point checkpoints exist side by side, in the sweep-specific
+    # artifact namespace (distinct from "(many)" repeat runs' _{int})
     wdir = os.path.join(cfg.result_dir, "Weight", "Parameters")
     names = os.listdir(wdir)
-    assert any("_1" in n for n in names) and any("_2" in n for n in names)
+    assert any("sweep1" in n for n in names)
+    assert any("sweep2" in n for n in names)
 
 
 def test_sweep_cvt_rejects_hidden(tmp_path):

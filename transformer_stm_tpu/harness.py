@@ -84,10 +84,13 @@ def train_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
     data, train_rows, val_rows = _load_target(cfg, freq, labels, procs)
     paths = _paths(cfg, freq, time)
 
-    if time is not None:
+    if isinstance(time, int):
         # "(many)" repeat runs differ by initialisation randomness
         # (reference: fresh Keras default init per repeat,
         # models/CvT(Par)(many).py:501-505) — derive a per-repeat seed.
+        # String `time` values (e.g. sweep artifact namespaces like
+        # "sweep1") carry their own explicit cfg.train.seed and must not
+        # be perturbed.
         import dataclasses
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
