@@ -444,3 +444,14 @@ def test_multi_trainer_bn_scales_with_width():
     assert _mlp_train_bn_for_width(7) == 256
     assert _mlp_train_bn_for_width(8) == 128
     assert _mlp_train_bn_for_width(12) == 128
+
+
+def test_multi_trainer_bn_env_override(monkeypatch):
+    """TSTM_BENCH-style operator override: the env knob beats the width
+    table at every T (for widths the table hasn't been probed at)."""
+    from transformer_stm_tpu.train.multi import _mlp_train_bn_for_width
+
+    monkeypatch.setenv("TSTM_MLP_TRAIN_BN", "128")
+    assert _mlp_train_bn_for_width(1) == 128
+    assert _mlp_train_bn_for_width(7) == 128
+    assert _mlp_train_bn_for_width(12) == 128

@@ -232,6 +232,11 @@ def _mlp_train_bn_for_width(n_targets: int) -> Optional[int]:
     make_multi_epoch -> cvt_forward -> mlp (NOT via process env, which
     leaked a narrow block into later trainers in one process, advisor r3).
     """
+    env = os.environ.get("TSTM_MLP_TRAIN_BN", "")
+    if env:
+        # operator override for widths the table hasn't been probed at
+        # (read-only: the trainer never writes this var — advisor r3)
+        return int(env)
     if n_targets < 6:
         return None
     return 256 if n_targets < 8 else 128
