@@ -8,12 +8,13 @@
 # rows are 400-600-epoch runs whose weights died with the old host; fresh
 # seeds retrain from scratch) PLUS 400HZ_μa — the one other row still
 # short of 1000 epochs (its committed 3/3-wins row is a round-1 run that
-# hit the wall-clock budget at 400) PLUS a 400HZ_Bm reseed — its chunkY
-# run landed in the known bad local optimum (R² 0.5448; the FFN (many)
-# study shows this target is bimodal, 1 bad repeat in 8).  T=7 sits
-# between the chunkY-proven T=6 (29.3 s/epoch) and the hardware-probed
-# T=8 (44.1 s/epoch); with it, this chunk completes the ENTIRE flagship
-# 20-target table at the full protocol.
+# hit the wall-clock budget at 400) PLUS reseeds of 400HZ_Bm (chunkY run
+# landed in the known bad local optimum, R² 0.5448 — the FFN (many)
+# study shows the target is bimodal) and 400HZ_Br (0.9629 vs ref 0.9859,
+# far outside the target's tiny (many)-study spread of ±0.0001 — seed
+# luck, not capability).  T=8 is hardware-validated (44.1 s/epoch,
+# Result/multi_width_probe.json); with it, this chunk completes the
+# ENTIRE flagship 20-target table at the full protocol.
 # The CvT "(many)" 8-repeat study and img-only variants stay with round 5
 # — pick their width from Result/multi_width_probe.json (T=8/10 validated
 # on hardware 2026-08-18, T=12 crashes the worker).
@@ -23,16 +24,11 @@
 # death -> checkpoint-resume retry, pid-exact SIGCONT failsafe), replacing
 # the supervise_train_all.sh shell loop (VERDICT r3 weak #7).
 cd /root/repo
-# TSTM_MLP_TRAIN_BN=128: the auto width scaling gives bn=256 for T=7,
-# which was never compile-probed (Mosaic scoped-VMEM accounting grows
-# with total vmapped rows; T=6/bn=256 and T=8/bn=128 are proven, T=7/256
-# is not).  T=7/bn=128 is strictly narrower than the hardware-validated
-# T=8/bn=128, so it cannot hit the scoped-VMEM wall — a compile failure
-# here would strand the unattended supervisor in a futile respawn loop.
-TSTM_MLP_TRAIN_BN=128 TSTM_MULTI_SEED=400HZ_Bm=7 nohup python -m transformer_stm_tpu.train.supervisor \
+# (T=8 takes bn=128 from the width table — the probed configuration.)
+TSTM_MULTI_SEED=400HZ_Bm=7,400HZ_Br=7 nohup python -m transformer_stm_tpu.train.supervisor \
   --log /tmp/chunk800.log -- \
   python scripts/train_all.py 1000 1 \
-  800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv 400HZ_μa 400HZ_Bm \
+  800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv 400HZ_μa 400HZ_Bm 400HZ_Br \
   > /dev/null 2>&1 &
 echo $! > /tmp/chunk800_sup.pid
 echo "launched 800HZ top-up chunk (supervisor pid $(cat /tmp/chunk800_sup.pid))"
