@@ -29,3 +29,36 @@ def test_bench_emits_stale_record_when_device_unreachable():
     with open(os.path.join(REPO, "BENCH_LAST_GOOD.json")) as f:
         good = json.load(f)
     assert rec["value"] == good["value"]
+
+
+def test_contended_measurement_keeps_last_good(tmp_path, monkeypatch, capsys):
+    """A bench that pauses live trainers and still measures well below the
+    committed last-good must (a) retry the headline once, (b) publish the
+    fresh (max) number flagged "contended", and (c) NOT clobber
+    BENCH_LAST_GOOD — a time-shared-chip artifact is not a regression."""
+    import bench
+
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({"metric": "m", "value": 11270.0,
+                              "unit": "images/sec/chip",
+                              "vs_baseline": 1.127}))
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(lg))
+    monkeypatch.setattr(bench, "_backend_probe", lambda timeout=0: True)
+    monkeypatch.setattr(bench, "_pause_competing_training", lambda: [1234])
+    runs = iter([5000.0, 5100.0])
+    monkeypatch.setattr(bench, "bench_vit_inference", lambda: next(runs))
+
+    def _boom():
+        raise RuntimeError("supplementary off in this test")
+
+    for name in ("bench_vit_with_preprocessing", "bench_cvt_inference",
+                 "bench_cvt_train_step"):
+        monkeypatch.setattr(bench, name, _boom)
+    monkeypatch.setenv("TSTM_BENCH_SETTLE_S", "0")
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["value"] == 5100.0          # max of the two runs
+    assert rec["contended"] is True
+    assert json.loads(lg.read_text())["value"] == 11270.0  # untouched
