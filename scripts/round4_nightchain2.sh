@@ -30,6 +30,24 @@ cd /root/repo
   done
   echo "chunk800 finished at $(date -u +%H:%M:%S)"
 
+  echo "=== launching CvT (many) study 50HZ_Bm $(date -u +%H:%M:%S) ==="
+  nohup python -m transformer_stm_tpu.train.supervisor \
+    --log /tmp/cvt_many.log -- \
+    python scripts/train_many.py 50HZ_Bm 1000 8 \
+    > /dev/null 2>&1 &
+  echo $! > /tmp/cvt_many_sup.pid
+  echo "cvt_many supervisor pid $(cat /tmp/cvt_many_sup.pid)"
+
+  # The chunk's in-process export evaluated on the TPU at DEFAULT matmul
+  # precision (single-pass-bf16 f32 dots — understates metrics vs the
+  # reference's true-f32 TF eval).  Re-evaluate the chunk's targets at
+  # exact f32 on CPU (harness.test_target exact path) before the regen;
+  # runs while the (many) study holds the chip.
+  echo "=== exact-f32 re-eval of chunk targets $(date -u +%H:%M:%S) ==="
+  timeout 7200 python scripts/reeval_metrics.py \
+    800HZ_Bm 800HZ_Hc 800HZ_μa 800HZ_Br 800HZ_Pcv \
+    400HZ_μa 400HZ_Bm 400HZ_Br
+
   echo "=== flagship table regen $(date -u +%H:%M:%S) ==="
   timeout 600 python scripts/results_tables.py flagship --write
   echo "=== persist weights $(date -u +%H:%M:%S) ==="
@@ -37,12 +55,5 @@ cd /root/repo
   git add -f RESULTS.md persist Result/*.json Result/Excel Result/Records Result/Plots 2>/dev/null
   git commit -q -m "Land the 800HZ top-up chunk: full 20/20 flagship table at the 1000-epoch protocol" \
     && echo "committed $(git log --oneline -1)"
-
-  echo "=== launching CvT (many) study 50HZ_Bm $(date -u +%H:%M:%S) ==="
-  nohup python -m transformer_stm_tpu.train.supervisor \
-    --log /tmp/cvt_many.log -- \
-    python scripts/train_many.py 50HZ_Bm 1000 8 \
-    > /dev/null 2>&1 &
-  echo $! > /tmp/cvt_many_sup.pid
-  echo "NIGHTCHAIN2 DONE $(date -u +%H:%M:%S) (cvt_many supervisor pid $(cat /tmp/cvt_many_sup.pid))"
+  echo "NIGHTCHAIN2 DONE $(date -u +%H:%M:%S)"
 } >> "$LOG" 2>&1

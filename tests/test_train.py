@@ -128,3 +128,23 @@ def test_predict_padding_consistency():
     assert full.shape == (40,)
     again = loop.predict(images[32:], proc[32:])
     np.testing.assert_allclose(full[32:], again, atol=1e-5)
+
+
+def test_predict_exact_is_f32(tmp_path):
+    """predict(exact=True) — the metrics-export eval — must equal a
+    float32-configured loop's forward, NOT the bf16-quantized default
+    (a bf16-configured loop's default predict returns visibly bf16-grid
+    outputs; committed metrics must be true-f32 like the reference's TF
+    eval — harness.test_target)."""
+    images, proc, labels = _toy_data(n=16)
+    bf = TrainLoop(TINY, TrainConfig(epochs=1, batch_size=16,
+                                     compute_dtype="bfloat16"), impl="xla")
+    f32 = TrainLoop(TINY, TrainConfig(epochs=1, batch_size=16,
+                                      compute_dtype="float32"), impl="xla")
+    f32.params, f32.state = bf.params, bf.state
+    default = bf.predict(images, proc)
+    exact = bf.predict(images, proc, exact=True)
+    reference = f32.predict(images, proc)
+    np.testing.assert_allclose(exact, reference, atol=1e-6)
+    # and the default bf16 path really is coarser — the exact knob matters
+    assert np.max(np.abs(default - reference)) > 1e-4

@@ -257,17 +257,22 @@ def test_target(cfg: ExperimentConfig, freq: str, labels=None, procs=None,
                           hidden=cfg.ffn_hidden,
                           num_classes=cfg.model.num_classes)
         params, _, _, _ = load_checkpoint(ckpt, params, {})
-        pred = np.asarray(ffn_forward(
-            params, data["proc_scaled"][val_rows]).reshape(-1))
+        with jax.default_matmul_precision("float32"):  # true-f32 metrics
+            pred = np.asarray(ffn_forward(
+                params, data["proc_scaled"][val_rows]).reshape(-1))
     else:
         from .train.loop import TrainLoop
         loop = TrainLoop(spec, cfg.train)
         loop.params, loop.state, _, _ = load_checkpoint(
             ckpt, loop.params, loop.state)
         proc = data["proc_scaled"] if cfg.inputs != "img" else None
+        # exact=True: committed metrics must be true-f32 like the
+        # reference's TF eval — TPU DEFAULT matmul precision computes f32
+        # dots as one bf16 MXU pass and systematically understates R²
+        # (200HZ_Pcv: 0.9868 default vs 0.9875 exact = TF to 8 decimals)
         pred = loop.predict(
             data["images"][val_rows],
-            proc[val_rows] if proc is not None else None)
+            proc[val_rows] if proc is not None else None, exact=True)
 
     r2 = r2_score(y_val, pred)
     m_mse = mse(y_val, pred)

@@ -164,15 +164,26 @@ def make_epoch_scan(spec: CvTSpec, cfg: TrainConfig,
 
 
 def make_eval_step(spec: CvTSpec, cfg: TrainConfig,
-                   impl: str = "auto") -> Callable:
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
-        else jnp.float32
+                   impl: str = "auto", exact: bool = False) -> Callable:
+    """exact=True evaluates in float32 end-to-end with float32 matmul
+    precision.  On TPU the DEFAULT precision computes f32 dots as a
+    single bf16 MXU pass, which systematically degrades final metrics
+    vs the reference's true-f32 TF eval (measured on 200HZ_Pcv: R²
+    0.9868 default vs 0.9875 exact = the TF number to 8 decimals) —
+    metrics exports must use exact; per-epoch validation keeps the
+    fast default."""
+    compute_dtype = jnp.float32 if exact else (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
 
     def step(params, state, images, proc):
+        from contextlib import nullcontext
         x = images.astype(compute_dtype)
         p = proc.astype(compute_dtype) if proc is not None else None
-        out, _ = cvt_forward(params, state, spec, x, p, train=False,
-                             impl=impl)
+        ctx = jax.default_matmul_precision("float32") if exact \
+            else nullcontext()
+        with ctx:
+            out, _ = cvt_forward(params, state, spec, x, p, train=False,
+                                 impl="xla" if exact else impl)
         return out.reshape(-1).astype(jnp.float32)
 
     return step
@@ -396,8 +407,17 @@ class TrainLoop:
             outs.append(np.asarray(out)[:real])
         return np.concatenate(outs)
 
-    def predict(self, images, proc, batch_size: Optional[int] = None):
-        """Batched inference -> np.float32 (N,)."""
+    def predict(self, images, proc, batch_size: Optional[int] = None,
+                exact: bool = False):
+        """Batched inference -> np.float32 (N,).
+
+        exact=True runs the f32/float32-precision eval (metrics exports —
+        see make_eval_step; the jitted step is built lazily and cached)."""
+        if exact and not hasattr(self, "_eval_exact"):
+            self._eval_exact = jax.jit(
+                make_eval_step(self.spec, self.cfg, impl=self.impl,
+                               exact=True))
+        eval_fn = self._eval_exact if exact else self._eval
         bs = batch_size or self.cfg.batch_size
         n = len(images)
         outs = []
@@ -406,9 +426,9 @@ class TrainLoop:
             real = len(idx)
             if real < bs:  # pad to keep one compiled shape
                 idx = np.concatenate([idx, np.zeros(bs - real, np.int64)])
-            out = self._eval(self.params, self.state,
-                             jnp.asarray(self._prep(images, idx)),
-                             jnp.asarray(proc[idx])
-                             if proc is not None else None)
+            out = eval_fn(self.params, self.state,
+                          jnp.asarray(self._prep(images, idx)),
+                          jnp.asarray(proc[idx])
+                          if proc is not None else None)
             outs.append(np.asarray(out)[:real])
         return np.concatenate(outs)
