@@ -29,10 +29,12 @@ REF = "/root/reference/Result/Excel"
 OURS = "Result/Excel"
 MARK_START = {"flagship": "<!-- FLAGSHIP_TABLE_START -->",
               "ffn": "<!-- FFN_TABLE_START -->",
-              "many": "<!-- FFN_MANY_TABLE_START -->"}
+              "many": "<!-- FFN_MANY_TABLE_START -->",
+              "cvt-many": "<!-- CVT_MANY_TABLE_START -->"}
 MARK_END = {"flagship": "<!-- FLAGSHIP_TABLE_END -->",
             "ffn": "<!-- FFN_TABLE_END -->",
-            "many": "<!-- FFN_MANY_TABLE_END -->"}
+            "many": "<!-- FFN_MANY_TABLE_END -->",
+            "cvt-many": "<!-- CVT_MANY_TABLE_END -->"}
 
 
 def _epochs_trained(variant_dir: str, freq: str):
@@ -103,18 +105,20 @@ def table(variant_dir: str, with_epochs: bool = True):
     return head + "\n" + "\n".join(rows) + summary
 
 
-def many_table():
+def many_table(prefix: str = "ffn", ref_variant: str = "Parameters"):
     """Variance rows from the 8-repeat study summaries
-    (Result/ffn_many_{freq}_summary.json, scripts/ffn_many.py) against the
-    reference's committed single run (its (many) script —
-    models/FFN(OnlyPar)(many).py:179-194 — shipped without results)."""
+    (Result/{ffn,cvt}_many_{freq}_summary.json; scripts/ffn_many.py and
+    train/many.py) against the reference's committed single run (its
+    (many) scripts — models/FFN(OnlyPar)(many).py:179-194 and
+    models/CvT(Par)(many).py:501-505 — shipped without results)."""
     import json
     import statistics
 
     rows = []
     n_done = 0
+    epoch_counts = set()
     for freq in ALL:
-        p = f"Result/ffn_many_{freq}_summary.json"
+        p = f"Result/{prefix}_many_{freq}_summary.json"
         if not os.path.exists(p):
             continue
         with open(p) as f:
@@ -122,8 +126,9 @@ def many_table():
         r2 = [r["r2"] for r in d["runs"]]
         mse = [r["mse"] for r in d["runs"]]
         mae = [r["mae"] for r in d["runs"]]
+        epoch_counts.add(d.get("epochs", 1000))
         ref = read_predictions_metrics(
-            os.path.join(REF, "Parameters",
+            os.path.join(REF, ref_variant,
                          f"Predictions_Metrics_{freq}.xlsx"))["r2"]
         rows.append(
             f"| {freq} | {statistics.mean(r2):.4f} ± "
@@ -135,9 +140,10 @@ def many_table():
     head = ("| Target | R² mean ± std | R² range | MSE mean ± std "
             "| MAE mean ± std | ref (single run) |\n"
             "|---|---|---|---|---|---|")
+    ep_s = "/".join(str(e) for e in sorted(epoch_counts)) or "1000"
     return (head + "\n" + "\n".join(rows)
             + f"\n{n_done}/{len(ALL)} targets done "
-            f"(8 repeats × 1000 epochs each).")
+            f"(8 repeats × {ep_s} epochs each).")
 
 
 def splice(which: str, text: str, path: str = "RESULTS.md"):
@@ -158,6 +164,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ffn"
     if which == "many":
         t = many_table()
+    elif which == "cvt-many":
+        t = many_table("cvt", "Images & Parameters")
     else:
         vd = "Parameters" if which == "ffn" else "Images & Parameters"
         t = table(vd, with_epochs=(which == "flagship"))

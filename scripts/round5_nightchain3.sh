@@ -21,9 +21,11 @@ cd /root/repo
   done
   echo "cvt_many finished at $(date -u +%H:%M:%S)"
 
+  echo "=== cvt-many table regen $(date -u +%H:%M:%S) ==="
+  timeout 600 python scripts/results_tables.py cvt-many --write
   echo "=== persist weights $(date -u +%H:%M:%S) ==="
   timeout 1200 python scripts/persist_weights.py save
-  git add -f persist Result/*.json Result/Excel Result/Records 2>/dev/null
+  git add -f RESULTS.md persist Result/*.json Result/Excel Result/Records 2>/dev/null
   git commit -q -m "Land the CvT (many) 8-repeat variance study artifacts" \
     && echo "committed $(git log --oneline -1)"
 
