@@ -80,6 +80,23 @@ cd /root/repo
       && echo "committed $(git log --oneline -1)"
   fi
 
+  # TPU CvT sweep demo (round-5 queue): a 2-D lr x dropout grid whose
+  # same-dropout points train SIMULTANEOUSLY as vmapped slots — the
+  # TPU-native counterpart of the lineage's keras-tuner search (the FFN
+  # 12-point full-protocol sweep in RESULTS.md ran on CPU).  6 points in
+  # 2 vmapped groups of 3, 150 epochs, ~1.4h; bounded so a wedged tunnel
+  # cannot eat the night — on failure we move on to the (many) study.
+  echo "=== TPU CvT sweep demo $(date -u +%H:%M:%S) ==="
+  if timeout 10800 python -m transformer_stm_tpu.cli sweep \
+      --freq 50HZ_Bm --inputs img+par --epochs 150 \
+      --lr 1e-3,5e-4,2e-4 --dropout 0.1,0.2 --seeds 0; then
+    git add -f Result/sweep_50HZ_Bm_img_par.json 2>/dev/null
+    git commit -q -m "TPU CvT sweep demo: 6-point lr x dropout grid in vmapped groups" \
+      && echo "committed $(git log --oneline -1)"
+  else
+    echo "sweep demo failed/timed out (rc=$?) — continuing"
+  fi
+
   echo "=== launching CvT (many) study 50HZ_Bm $(date -u +%H:%M:%S) ==="
   nohup python -m transformer_stm_tpu.train.supervisor \
     --log /tmp/cvt_many.log -- \
