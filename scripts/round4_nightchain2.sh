@@ -30,6 +30,15 @@ cd /root/repo
   done
   echo "chunk800 finished at $(date -u +%H:%M:%S)"
 
+  # int8 fused-layer A/B (chip just went idle; ~10-15 min incl. compiles).
+  # AOT-verified at B=192/384/768; the kernel is opt-in, this records
+  # whether the MXU int8 path beats the 11,270 img/s fused2 headline.
+  echo "=== int8 probe $(date -u +%H:%M:%S) ==="
+  timeout 3600 python scripts/probe_int8.py || echo "int8 probe failed (rc=$?)"
+  git add -f Result/int8_probe.json 2>/dev/null
+  git commit -q -m "Measure the int8 fused-layer path against the fused2 headline" \
+    && echo "committed $(git log --oneline -1)"
+
   # The chunk's in-process export evaluated on the TPU at DEFAULT matmul
   # precision (single-pass-bf16 f32 dots — understates metrics vs the
   # reference's true-f32 TF eval).  Re-evaluate the chunk's targets at

@@ -63,6 +63,40 @@ def test_fused_vit_ti_width():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_fused_int8_close_to_float():
+    """impl='fused2_int8' (all six projections on the MXU int8 path,
+    per-channel weight + per-token dynamic activation scales) tracks the
+    float XLA path to ~2% of the logit scale and stays rank-correlated —
+    the opt-in serving mode's numeric contract."""
+    spec = _small_spec()
+    params = init_vit(jax.random.PRNGKey(0), spec)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3),
+                             jnp.float32)
+    ref = np.asarray(vit_forward(params, spec, img, train=False,
+                                 impl="xla", mlp_impl="xla"))
+    got = np.asarray(vit_forward(params, spec, img, train=False,
+                                 impl="fused2_int8"))
+    scale = max(np.max(np.abs(ref)), 1e-9)
+    assert np.max(np.abs(got - ref)) / scale < 0.03
+    assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
+
+
+def test_fused_int8_padded_rows_and_odd_batch():
+    """bi=1 fallback (B=3) + padded token rows (17 -> 24): the dynamic
+    row quantization must stay finite on all-zero padded rows."""
+    spec = _small_spec(depth=1)
+    params = init_vit(jax.random.PRNGKey(2), spec)
+    img = jax.random.uniform(jax.random.PRNGKey(3), (3, 64, 64, 3),
+                             jnp.float32)
+    ref = np.asarray(vit_forward(params, spec, img, train=False,
+                                 impl="xla", mlp_impl="xla"))
+    got = np.asarray(vit_forward(params, spec, img, train=False,
+                                 impl="fused2_int8"))
+    assert np.all(np.isfinite(got))
+    scale = max(np.max(np.abs(ref)), 1e-9)
+    assert np.max(np.abs(got - ref)) / scale < 0.03
+
+
 def test_fused_rejects_train():
     spec = _small_spec(depth=1)
     params = init_vit(jax.random.PRNGKey(0), spec)

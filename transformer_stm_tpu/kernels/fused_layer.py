@@ -407,6 +407,186 @@ def vit_layer_infer(x, norm1, attn, norm2, mlp, *, t_pad: int,
       mlp["fc1"]["kernel"], b1, mlp["fc2"]["kernel"], b2)
 
 
+def _quant_rows(x):
+    """Symmetric per-row dynamic int8 quantization of an f32 block.
+
+    Returns (int8 values, f32 (R, 1) dequant scales).  The row abs-max is
+    clamped away from zero so all-zero rows (e.g. the folded layout's
+    padded token rows) quantize to zeros with a finite scale."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-6)
+    q = jnp.clip(jnp.round(x * (127.0 / amax)), -127.0, 127.0)
+    return q.astype(jnp.int8), amax * (1.0 / 127.0)
+
+
+def _quant_cols(w):
+    """Symmetric per-output-channel int8 quantization of an (in, out)
+    weight matrix.  Returns (int8 weights, f32 (1, out) dequant scales)."""
+    w = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-6)
+    q = jnp.clip(jnp.round(w * (127.0 / amax)), -127.0, 127.0)
+    return q.astype(jnp.int8), amax * (1.0 / 127.0)
+
+
+def _qdot(xq, sx, w_ref, sw_ref, b_ref):
+    """int8 x int8 -> int32 matmul with scale/bias epilogue (f32 out).
+
+    Contraction depths here (<= 1536) keep |acc| <= 127*127*1536 < 2^31.
+    """
+    acc = jax.lax.dot_general(xq, w_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
+
+
+def _layer_kernel_int8(x_ref, g1_ref, be1_ref, wq_ref, sq_ref, bq_ref,
+                       wk_ref, sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
+                       wo_ref, so_ref, bo_ref, g2_ref, be2_ref,
+                       w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                       o_ref, q_scr, k_scr, v_scr, oh_scr, *, bi: int,
+                       t_pad: int, t_real: int, heads: int, dh: int,
+                       eps: float, mlp_chunks: int):
+    """Whole transformer layer with all six projections on the int8 MXU
+    path (2x bf16 peak): weights are pre-quantized per output channel,
+    activations quantize dynamically per token row inside the kernel.
+    The attention core (scores, softmax, p@v) stays bf16/f32 — it is
+    ~15% of layer FLOPs and carries the softmax numerics."""
+    x = x_ref[:].astype(jnp.float32)                       # (R, E)
+    xn = _layer_norm_rows(x, g1_ref[:], be1_ref[:], eps)
+    xq, sx = _quant_rows(xn)
+    q_scr[:] = _qdot(xq, sx, wq_ref, sq_ref, bq_ref).astype(q_scr.dtype)
+    k_scr[:] = _qdot(xq, sx, wk_ref, sk_ref, bk_ref).astype(k_scr.dtype)
+    v_scr[:] = _qdot(xq, sx, wv_ref, sv_ref, bv_ref).astype(v_scr.dtype)
+
+    for h in range(heads):
+        lanes = slice(h * dh, (h + 1) * dh)
+        qh = q_scr[:, lanes].reshape(bi, t_pad, dh)
+        kh = k_scr[:, lanes].reshape(bi, t_pad, dh)
+        vh = v_scr[:, lanes].reshape(bi, t_pad, dh)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < t_real, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) / l
+        oh_scr[:, lanes] = o.reshape(bi * t_pad, dh).astype(oh_scr.dtype)
+
+    ohq, soh = _quant_rows(oh_scr[:].astype(jnp.float32))
+    z = x + _qdot(ohq, soh, wo_ref, so_ref, bo_ref)
+    zn = _layer_norm_rows(z, g2_ref[:], be2_ref[:], eps)
+    r = zn.shape[0]
+    cr = r // mlp_chunks
+    for c in range(mlp_chunks):
+        rows = slice(c * cr, (c + 1) * cr)
+        znq, sz = _quant_rows(zn[rows])
+        hid = _gelu_exact(_qdot(znq, sz, w1_ref, s1_ref, b1_ref))
+        hq, sh = _quant_rows(hid)
+        y = z[rows] + _qdot(hq, sh, w2_ref, s2_ref, b2_ref)
+        o_ref[rows, :] = y.astype(o_ref.dtype)
+
+
+def _layer_vmem_est_int8(bi: int, t_pad: int, e: int, hd: int,
+                         hidden: int, mlp_chunks: int) -> int:
+    """Scoped-VMEM estimate for _layer_kernel_int8: bf16 activations and
+    scratch as in _layer_vmem_est, int8 resident weights (half), plus the
+    int8 quantized-activation temporaries."""
+    rr = bi * t_pad
+    mlp_chunks = _norm_mlp_chunks(rr, mlp_chunks)
+    chunk = max(rr // mlp_chunks, 8)
+    return (4 * rr * e * 2               # x in + y out, double-buffered
+            + 4 * rr * hd * 2            # q/k/v/o bf16 scratch
+            + 2 * rr * e * 4             # xn / z f32 temps
+            + rr * e                     # xq int8
+            + 4 * e * hd                 # int8 qkv + out weights
+            + 2 * e * hidden             # int8 MLP weights
+            + 2 * bi * t_pad * t_pad * 4  # live score buffers
+            + 2 * chunk * hidden * 4     # f32 hidden chunk
+            + chunk * hidden)            # int8 hidden chunk
+
+
+def vit_layer_infer_int8(x, norm1, attn, norm2, mlp, *, t_pad: int,
+                         t_real: int, eps: float = 1e-6, bi: int = None,
+                         mlp_chunks: int = 2):
+    """Int8 variant of vit_layer_infer: one pallas_call per layer with
+    every projection (QKV, attention out, both MLP matmuls — ~85% of
+    layer FLOPs) running int8 x int8 -> int32 on the MXU's double-rate
+    int8 path.  Weights quantize per output channel outside the kernel;
+    activations quantize per token row inside it (dynamic symmetric
+    abs-max).  Numeric drift vs the bf16 fused path is ~1% of the logit
+    scale (see tests/test_fused_layer.py) — an opt-in serving mode, not
+    the parity path."""
+    n, e = x.shape
+    b = n // t_pad
+    h, dh = attn["query"]["bias"].shape
+    hd = h * dh
+    hidden = mlp["fc1"]["kernel"].shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    if bi is None:
+        for cand in (8, 4, 2, 1):
+            if b % cand:
+                continue
+            if _layer_vmem_est_int8(cand, t_pad, e, hd, hidden,
+                                    mlp_chunks) <= _VMEM_ADMIT:
+                bi = cand
+                break
+        if bi is None:
+            raise FusedLayerVMEMError(
+                f"vit_layer_infer_int8: t_pad={t_pad} E={e} HD={hd} "
+                f"hidden={hidden} overflows scoped VMEM even at bi=1; "
+                f"use the composable impl='small' path")
+    r = bi * t_pad
+    mlp_chunks = _norm_mlp_chunks(r, mlp_chunks)
+
+    def packed_q(p, mul=1.0):
+        wq, sw = _quant_cols(p["kernel"].reshape(e, hd) * mul)
+        return wq, sw, (p["bias"].astype(jnp.float32).reshape(1, hd) * mul)
+
+    wq, sq, bq = packed_q(attn["query"], scale)   # q pre-scaled 1/sqrt(Dh)
+    wk, sk, bk = packed_q(attn["key"])
+    wv, sv, bv = packed_q(attn["value"])
+    wo, so = _quant_cols(attn["out"]["kernel"].reshape(hd, e))
+    bo = attn["out"]["bias"].astype(jnp.float32).reshape(1, e)
+    w1, s1 = _quant_cols(mlp["fc1"]["kernel"])
+    w2, s2 = _quant_cols(mlp["fc2"]["kernel"])
+    g1 = norm1["gamma"].astype(jnp.float32).reshape(1, e)
+    be1 = norm1["beta"].astype(jnp.float32).reshape(1, e)
+    g2 = norm2["gamma"].astype(jnp.float32).reshape(1, e)
+    be2 = norm2["beta"].astype(jnp.float32).reshape(1, e)
+    b1 = mlp["fc1"]["bias"].astype(jnp.float32).reshape(1, hidden)
+    b2 = mlp["fc2"]["bias"].astype(jnp.float32).reshape(1, e)
+
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel_int8, bi=bi, t_pad=t_pad,
+                          t_real=t_real, heads=h, dh=dh, eps=eps,
+                          mlp_chunks=mlp_chunks),
+        grid=(b // bi,),
+        in_specs=[pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [const] * 22,
+        out_specs=pl.BlockSpec((r, e), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, e), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+            pltpu.VMEM((r, hd), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * e * (4 * hd + 2 * hidden)
+            + 4 * n * t_pad * h * dh,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=n * (t_pad * h + hidden),
+        ),
+        compiler_params=_v2_compiler_params(),
+        interpret=_INTERPRET,
+    )(x, g1, be1, wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+      g2, be2, w1, s1, b1, w2, s2, b2)
+
+
 def _ln_mlp_kernel(x_ref, g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)

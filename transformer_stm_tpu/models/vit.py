@@ -103,11 +103,12 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
                                     spec.embed_dim * spec.mlp_ratio, 2,
                                     merged=(impl == "fused2")):
                 impl = "small"
-    if impl in ("fused", "fused2"):
+    if impl in ("fused", "fused2", "fused2_int8"):
         if train:
             raise ValueError(f"impl={impl!r} is inference-only")
         return _vit_forward_fused(params, spec, images,
-                                  merged=(impl == "fused2"))
+                                  merged=(impl != "fused"),
+                                  int8=(impl == "fused2_int8"))
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
     b = x.shape[0]
@@ -136,13 +137,18 @@ def vit_forward(params, spec: ViTSpec, images, *, train: bool = False,
     return dense(params["head"], x[:, 0, :])
 
 
-def _vit_forward_fused(params, spec: ViTSpec, images, merged: bool = False):
+def _vit_forward_fused(params, spec: ViTSpec, images, merged: bool = False,
+                       int8: bool = False):
     """Fused-layer inference: fold (B, T, E) -> (B * t_pad, E) once, run
     every layer as attn_layer_infer + ln_mlp_infer (each one pallas_call,
     HBM sees only the x read + y write), unfold at the head.  merged=True
-    runs both sublayers in ONE pallas_call per layer (vit_layer_infer)."""
+    runs both sublayers in ONE pallas_call per layer (vit_layer_infer);
+    int8=True additionally runs all six projections on the MXU's
+    double-rate int8 path (vit_layer_infer_int8 — opt-in serving mode,
+    ~1% numeric drift, never picked by impl='auto')."""
     from ..kernels.fused_layer import (attn_layer_infer, ln_mlp_infer,
-                                       vit_layer_infer)
+                                       vit_layer_infer,
+                                       vit_layer_infer_int8)
 
     x = patchify(images, spec.patch_size)
     x = dense(params["patch_embed"], x)
@@ -157,9 +163,10 @@ def _vit_forward_fused(params, spec: ViTSpec, images, merged: bool = False):
     x = x.reshape(b * t_pad, e)
     for blk in params["blocks"]:
         if merged:
-            x = vit_layer_infer(x, blk["norm1"], blk["attn"],
-                                blk["norm2"], blk["mlp"],
-                                t_pad=t_pad, t_real=t)
+            layer_fn = vit_layer_infer_int8 if int8 else vit_layer_infer
+            x = layer_fn(x, blk["norm1"], blk["attn"],
+                         blk["norm2"], blk["mlp"],
+                         t_pad=t_pad, t_real=t)
         else:
             x = attn_layer_infer(x, blk["norm1"], blk["attn"],
                                  t_pad=t_pad, t_real=t)
