@@ -416,6 +416,16 @@ def main():
             print(f"# CvT-13 @128 train step: {cvt_train:,.0f} img/s",
                   file=sys.stderr)
             supplementary["cvt_train_img_s"] = round(cvt_train, 1)
+            if os.environ.get("TSTM_BENCH_INT8", "1") != "0":
+                # opt-in int8 serving mode (impl='fused2_int8'): reported
+                # as a supplementary number, never as the headline — the
+                # headline stays the bf16 parity path
+                int8_ips = bench_vit_inference(batches=(384,),
+                                               impls=("fused2_int8",))
+                if int8_ips > 0:
+                    print(f"# ViT-S/16 @224 int8 inference: "
+                          f"{int8_ips:,.0f} img/s", file=sys.stderr)
+                    supplementary["vit_int8_img_s"] = round(int8_ips, 1)
         except _BenchTimeout:
             raise
         except Exception as e:  # supplementary only
