@@ -383,17 +383,18 @@ def test_mlp_train_dropout_requires_rng():
                 impl=impl)
 
 
-def test_flash_bwd_dispatches_to_xla_beyond_vmem_budget(monkeypatch):
-    """At 16k+ tokens (the 512px streaming config) the in-VMEM-sliced
-    Pallas backward cannot fit its resident K/V / Q/G blocks in scoped
-    VMEM; _bwd must dispatch to the blockwise XLA scan there and keep the
-    Pallas pair below the budget."""
+def test_flash_bwd_dispatches_to_streaming_beyond_vmem_budget(monkeypatch):
+    """At 16k+ tokens (the 512px streaming config) the whole-side-resident
+    Pallas backward cannot fit its K/V / Q/G blocks in scoped VMEM; _bwd
+    must dispatch to the fully-streaming Pallas pair there and keep the
+    resident pair below the budget."""
     import importlib
     fa = importlib.import_module(
         "transformer_stm_tpu.kernels.flash_attention")
 
     calls = []
-    monkeypatch.setattr(fa, "_bwd_xla", lambda res, g: calls.append("xla"))
+    monkeypatch.setattr(fa, "_bwd_pallas_streaming",
+                        lambda res, g: calls.append("stream"))
     monkeypatch.setattr(fa, "_bwd_pallas",
                         lambda res, g: calls.append("pallas"))
 
@@ -405,7 +406,31 @@ def test_flash_bwd_dispatches_to_xla_beyond_vmem_budget(monkeypatch):
     fa._bwd(res_for(16384, 16384), None)
     fa._bwd(res_for(1024, 1024), None)
     fa._bwd(res_for(1024, 16384), None)   # long-KV side alone must trip it
-    assert calls == ["xla", "pallas", "xla"]
+    assert calls == ["stream", "pallas", "stream"]
+
+
+def test_flash_bwd_streaming_matches_xla_scan():
+    """The fully-streaming backward (both sides blocked, grid-accumulated
+    output tiles) must match the einsum-scan backward — including at a
+    rectangular T != S shape and a non-128-multiple length, where the
+    block masking/padding paths all fire."""
+    from transformer_stm_tpu.kernels.flash_attention import (
+        _bwd_pallas_streaming, _bwd_xla, _flash_fwd_impl)
+
+    # (1, 1088, 640, 1, 64): bq=bk=512 -> grids (1,3,2)/(1,2,3) — real
+    # multi-block accumulation plus kv-padding masking (640 -> 1024)
+    for (b, t, s, h, dh) in [(2, 256, 256, 1, 64), (1, 65, 65, 4, 64),
+                             (1, 1088, 640, 1, 64)]:
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(t + s), 4)
+        q = jax.random.normal(kq, (b, t, h, dh), jnp.float32)
+        k = jax.random.normal(kk, (b, s, h, dh), jnp.float32)
+        v = jax.random.normal(kv, (b, s, h, dh), jnp.float32)
+        g = jax.random.normal(kg, (b, t, h, dh), jnp.float32)
+        o, lse = _flash_fwd_impl(q, k, v, with_lse=True)
+        res = (q, k, v, o, lse)
+        for a, b_ in zip(_bwd_pallas_streaming(res, g), _bwd_xla(res, g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4)
 
 
 def test_train_dims_env_block_override(monkeypatch):

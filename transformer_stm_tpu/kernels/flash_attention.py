@@ -14,8 +14,12 @@ columns do not change q.k dot products); padded KV rows are masked to -inf.
 Backward pass: custom_vjp with a fully-blocked Pallas kernel pair (dq and
 dk/dv), FlashAttention-2 style — probabilities are rebuilt per block from
 the forward's saved logsumexp, so the backward's score blocks also live
-only in VMEM.  An einsum-scan fallback (`TSTM_FLASH_BWD=xla`) is kept for
-A/B comparison.
+only in VMEM.  Two Pallas variants: the whole-side-resident pair (fastest
+while K/V resp. Q/G fit scoped VMEM) and a fully-streaming pair (both
+sequence sides blocked, output tiles accumulated across the innermost
+grid dim) that has no length ceiling and carries the 16k-token 512px
+config.  An einsum-scan fallback (`TSTM_FLASH_BWD=xla`) is kept for A/B
+comparison.
 """
 
 from __future__ import annotations
@@ -239,21 +243,16 @@ def _flash_bwd_dkv_kernel(q_ref, g_ref, aux_ref, k_ref, v_ref, dk_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_pallas(res, g):
-    """Fully-blocked Pallas backward (dq kernel + dkv kernel pair).
-
-    The logsumexp (saved by the forward) and delta = rowsum(g * o) ride in
-    two zero-padding channels of a single f32 aux array, so each kernel
-    reads one aligned (block, 128-lane) ref instead of awkward (T,)
-    vectors.  Score blocks live only in VMEM — HBM sees O(T) not O(T*S).
-    """
+def _pack_bwd_operands(res, g, bq: int, bk: int):
+    """Shared backward operand prep: fold heads into batch, pad sequence
+    dims to the block sizes and the feature dim to 128 lanes + 2 aux
+    channels, and pack the forward's logsumexp together with
+    delta = rowsum(g * o) into those aux channels (c_lse, c_delta) so the
+    kernels read one aligned (block, 128-lane) ref instead of awkward
+    (T,) vectors."""
     q, k, v, o, lse = res
     b, t, h, dh = q.shape
     s = k.shape[1]
-    scale = 1.0 / math.sqrt(dh)
-
-    bq = 128 if t >= 128 else _round_up(t, 8)
-    bk = 128 if s >= 128 else _round_up(s, 8)
     t_pad = _round_up(t, bq)
     s_pad = _round_up(s, bk)
     dh_pad = _round_up(dh + 2, 128)
@@ -274,7 +273,30 @@ def _bwd_pallas(res, g):
                     [..., None], 0.0) + \
         jnp.where(ch == c_delta, jnp.pad(delta, ((0, 0), (0, t_pad - t)))
                   [..., None], 0.0)
-    aux = aux.astype(jnp.float32)
+    return qf, gf, aux.astype(jnp.float32), kf, vf
+
+
+def _bwd_pallas(res, g):
+    """Fully-blocked Pallas backward (dq kernel + dkv kernel pair).
+
+    The logsumexp (saved by the forward) and delta = rowsum(g * o) ride in
+    two zero-padding channels of a single f32 aux array, so each kernel
+    reads one aligned (block, 128-lane) ref instead of awkward (T,)
+    vectors.  Score blocks live only in VMEM — HBM sees O(T) not O(T*S).
+    """
+    q, k, v, o, lse = res
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    bq = 128 if t >= 128 else _round_up(t, 8)
+    bk = 128 if s >= 128 else _round_up(s, 8)
+    t_pad = _round_up(t, bq)
+    s_pad = _round_up(s, bk)
+    dh_pad = _round_up(dh + 2, 128)
+    c_lse, c_delta = dh, dh + 1
+
+    qf, gf, aux, kf, vf = _pack_bwd_operands(res, g, bq, bk)
 
     common = dict(interpret=_INTERPRET)
     dq = pl.pallas_call(
@@ -346,6 +368,158 @@ def _bwd_pallas(res, g):
             unfold(dv, s).astype(v.dtype))
 
 
+def _stream_bwd_dq_kernel(q_ref, g_ref, aux_ref, k_ref, v_ref, dq_ref, *,
+                          s_real: int, bk: int, scale: float, c_lse: int,
+                          c_delta: int):
+    """Streaming dq: grid (batch-head, q-block, kv-block) with the
+    kv-block dim innermost.  The dq output block's index map ignores that
+    dim, so Mosaic keeps the SAME output tile resident across the kv
+    sweep and this kernel accumulates into it — only (bq, dh) + (bk, dh)
+    tiles ever live in VMEM, so there is no whole-K/V residency and no
+    sequence-length ceiling (unlike _bwd_pallas's kernels).
+
+        p   = exp(q k^T * scale - lse)
+        ds  = p * (g v^T - delta),  delta = rowsum(g * o)
+        dq += ds k * scale
+    """
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _zero():
+        dq_ref[...] = jnp.zeros(dq_ref.shape, dq_ref.dtype)
+
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    aux = aux_ref[0]
+    bq, dh = q.shape
+    ch = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 1)
+    lse = jnp.sum(jnp.where(ch == c_lse, aux, 0.0), axis=1, keepdims=True)
+    delta = jnp.sum(jnp.where(ch == c_delta, aux, 0.0), axis=1,
+                    keepdims=True)
+
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, k_blk.shape[0]), 1) \
+        + kv_i * bk
+    p = jnp.where(col < s_real, jnp.exp(s - lse), 0.0)
+    dp = jnp.dot(g, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_ref[0] += (jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+                  * scale).astype(dq_ref.dtype)
+
+
+def _stream_bwd_dkv_kernel(q_ref, g_ref, aux_ref, k_ref, v_ref, dk_ref,
+                           dv_ref, *, scale: float, c_lse: int,
+                           c_delta: int):
+    """Streaming dk/dv: grid (batch-head, kv-block, q-block), q-block
+    innermost, dk/dv tiles revisited and accumulated across the q sweep.
+
+        dv += p^T g ;  dk += ds^T q * scale
+    Padded q rows need no masking (q/g/aux zero there -> ds = 0, and
+    p = 1 multiplies zero g); padded kv rows only write dk/dv rows that
+    the caller slices off.
+    """
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _zero():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    aux = aux_ref[0]
+    bq, dh = q.shape
+    ch = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 1)
+    lse = jnp.sum(jnp.where(ch == c_lse, aux, 0.0), axis=1, keepdims=True)
+    delta = jnp.sum(jnp.where(ch == c_delta, aux, 0.0), axis=1,
+                    keepdims=True)
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jnp.dot(p.T, g,
+                         preferred_element_type=jnp.float32).astype(
+        dv_ref.dtype)
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_ref[0] += (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+                  * scale).astype(dk_ref.dtype)
+
+
+def _bwd_pallas_streaming(res, g):
+    """Fully-streaming Pallas backward: BOTH sequence sides blocked, so
+    per-program VMEM is a handful of (512, 128) tiles regardless of T/S.
+    This is the backward for the long-context configs (512px = 16,384
+    tokens) where _bwd_pallas's whole-side residency blows the ~16 MiB
+    scoped-VMEM budget; it replaces the _bwd_xla einsum scan there with
+    MXU-blocked kernels and zero (T, S) HBM traffic."""
+    q, k, v, o, lse = res
+    b, t, h, dh = q.shape
+    s = k.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    bq = 512 if t >= 512 else _round_up(t, 8)
+    bk = 512 if s >= 512 else _round_up(s, 8)
+    t_pad = _round_up(t, bq)
+    s_pad = _round_up(s, bk)
+    dh_pad = _round_up(dh + 2, 128)
+    c_lse, c_delta = dh, dh + 1
+
+    qf, gf, aux, kf, vf = _pack_bwd_operands(res, g, bq, bk)
+    bh = b * h
+
+    q_spec = pl.BlockSpec((1, bq, dh_pad), lambda i, j, kk: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, dh_pad), lambda i, j, kk: (i, kk, 0),
+                           memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_stream_bwd_dq_kernel, s_real=s, bk=bk,
+                          scale=scale, c_lse=c_lse, c_delta=c_delta),
+        grid=(bh, t_pad // bq, s_pad // bk),
+        in_specs=[q_spec, q_spec, q_spec, kv_spec, kv_spec],
+        out_specs=pl.BlockSpec((1, bq, dh_pad), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dh_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * s * dh,
+            bytes_accessed=(qf.size * 3 + kf.size * 2) * 4,
+            transcendentals=bh * t * s,
+        ),
+        interpret=_INTERPRET,
+    )(qf, gf, aux, kf, vf)
+
+    # dkv: kv-block is the revisited output dim, q-block streams innermost
+    qs_spec = pl.BlockSpec((1, bq, dh_pad), lambda i, j, kk: (i, kk, 0),
+                           memory_space=pltpu.VMEM)
+    kvs_spec = pl.BlockSpec((1, bk, dh_pad), lambda i, j, kk: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_stream_bwd_dkv_kernel, scale=scale, c_lse=c_lse,
+                          c_delta=c_delta),
+        grid=(bh, s_pad // bk, t_pad // bq),
+        in_specs=[qs_spec, qs_spec, qs_spec, kvs_spec, kvs_spec],
+        out_specs=[kvs_spec, kvs_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, dh_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad, dh_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * t * s * dh,
+            bytes_accessed=(qf.size * 3 + kf.size * 2) * 4,
+            transcendentals=bh * t * s,
+        ),
+        interpret=_INTERPRET,
+    )(qf, gf, aux, kf, vf)
+
+    unfold = lambda x, n: x[:, :n, :dh].reshape(b, h, n, dh).transpose(
+        0, 2, 1, 3)
+    return (unfold(dq, t).astype(q.dtype), unfold(dk, s).astype(k.dtype),
+            unfold(dv, s).astype(v.dtype))
+
+
 def _bwd_xla(res, g):
     """Blockwise backward: O(T * block) score memory instead of O(T * S).
 
@@ -408,29 +582,41 @@ def _bwd_xla(res, g):
 
 
 def _bwd(res, g):
-    """Backward dispatch: the fully-blocked Pallas kernel pair by default;
-    TSTM_FLASH_BWD=xla selects the einsum-scan fallback (kept for
-    A/B numerics and perf comparison).
+    """Backward dispatch.  TSTM_FLASH_BWD forces a path: 'pallas' (the
+    whole-side-resident kernel pair), 'stream' (the fully-streaming
+    pair), or 'xla' (the einsum scan, kept for A/B numerics and perf
+    comparison).  Default ('auto'): the resident pair while it fits —
+    it reads each side once per pass where streaming re-reads K/V per
+    q-block — and the streaming pair beyond the budget.
 
-    The Pallas pair keeps whole padded K/V resident per dq program and
-    whole Q/G + aux per dkv program — that in-VMEM slicing stops fitting
-    the ~16 MiB scoped-VMEM budget near 12k tokens (advisor r2: at the
+    The resident pair keeps whole padded K/V per dq program and whole
+    Q/G + aux per dkv program — that in-VMEM slicing stops fitting the
+    ~16 MiB scoped-VMEM budget near 12k tokens (advisor r2: at the
     16k-token 512px config the dkv kernel needs 4+4+8.4 MiB of resident
-    blocks before outputs/double-buffering).  Beyond the budget we dispatch
-    to the blockwise XLA scan, which is O(T * block) and always compiles —
-    so training the streaming-forward configs keeps a working backward.
+    blocks before outputs/double-buffering).  Beyond the budget the
+    fully-streaming pair takes over: both sequence sides blocked, output
+    tiles accumulated across the innermost grid dim, no length ceiling.
     """
-    q, k, _, _, _ = res
-    t, s, dh = q.shape[1], k.shape[1], q.shape[3]
-    dh_pad = _round_up(dh + 2, 128)
-    # resident f32 bytes of the larger kernel of the pair (K+V for dq,
-    # Q+G+aux for dkv), excluding the small blocked refs
-    resident = max(2 * _round_up(s, 128), 3 * _round_up(t, 128)) \
-        * dh_pad * 4
-    if os.environ.get("TSTM_FLASH_BWD", "pallas") == "xla" \
-            or resident > 12 * 1024 * 1024:
+    forced = os.environ.get("TSTM_FLASH_BWD", "auto")
+    if forced == "xla":
         return _bwd_xla(res, g)
-    return _bwd_pallas(res, g)
+    if forced == "stream":
+        return _bwd_pallas_streaming(res, g)
+    if forced == "pallas":
+        return _bwd_pallas(res, g)
+    if forced == "auto":
+        q, k, _, _, _ = res
+        t, s, dh = q.shape[1], k.shape[1], q.shape[3]
+        dh_pad = _round_up(dh + 2, 128)
+        # resident f32 bytes of the larger kernel of the pair (K+V for
+        # dq, Q+G+aux for dkv), excluding the small blocked refs
+        resident = max(2 * _round_up(s, 128), 3 * _round_up(t, 128)) \
+            * dh_pad * 4
+        if resident > 12 * 1024 * 1024:
+            return _bwd_pallas_streaming(res, g)
+        return _bwd_pallas(res, g)
+    raise ValueError(f"TSTM_FLASH_BWD={forced!r}: expected "
+                     "auto|pallas|stream|xla")
 
 
 flash_attention.defvjp(_fwd, _bwd)
