@@ -105,6 +105,14 @@ def test_sharding_rules_divisibility():
     # mlp fc1 kernel sharded on hidden
     m1 = shardings["stages"][1]["blocks"][0]["mlp"]["fc1"]["kernel"]
     assert m1.spec == P(None, "model")
+    # conv path: embed conv sharded on output channels, depthwise QKV
+    # projection sharded on the channel dim, embed bias replicated
+    e1 = shardings["stages"][1]["embed"]["proj"]["kernel"]
+    assert e1.spec == P(None, None, None, "model")
+    assert shardings["stages"][1]["embed"]["proj"]["bias"].spec == P()
+    dw = shardings["stages"][1]["blocks"][0]["attn"]["k_proj"]["conv"][
+        "kernel"]
+    assert dw.spec == P(None, None, "model", None)
 
 
 @needs_8

@@ -8,9 +8,14 @@ derives every collective.  Rules for the CvT/ViT parameter layout
   out kernel (H, Dh, E): shard heads (axis 0).
 - MLP fc1 (D, 4D): shard hidden (axis 1); fc2 (4D, D): shard hidden (axis 0)
   — the classic Megatron split, here just a PartitionSpec.
-- Everything else (norms, convs, biases, embeddings, heads) replicated:
-  at CvT/ViT scale their memory is negligible and replication avoids
-  collectives in the conv path.
+- Conv path: ConvEmbed kernels (kh, kw, cin, cout) shard output channels;
+  the depthwise QKV-projection kernels (kh, kw, C, 1) shard the channel
+  dim — both are per-output-channel-independent ops, so the shards need
+  no halo/collective of their own and GSPMD keeps the activations
+  channel-sharded through the following BN/elementwise ops.
+- Everything else (norms, biases, small denses, heads) replicated: their
+  memory is negligible and replicated operands broadcast against sharded
+  activations for free.
 """
 
 from __future__ import annotations
@@ -64,6 +69,13 @@ def _tp_spec(path, leaf, model_size: int) -> P:
             return P("model", None)
     if "mlp" in names and names[-1] == "bias" and "fc1" in names and ok(0):
         return P("model")
+    if names[-1] == "kernel" and leaf.ndim == 4:
+        if "embed" in names and ok(3):
+            # ConvEmbed / patch-embed conv (kh, kw, cin, cout)
+            return P(None, None, None, "model")
+        if names[-2] == "conv" and ok(2):
+            # depthwise QKV projection (kh, kw, C, 1)
+            return P(None, None, "model", None)
     return P()
 
 
